@@ -1,0 +1,193 @@
+"""Typed experiment configuration.
+
+Ingests the reference's JSON ``.conf`` files unchanged (see
+``/root/reference/config/*.conf`` and the defaulting logic at
+``/root/reference/main.py:42-52``) and normalises them into dataclasses.
+
+Differences from the reference, by design (SURVEY.md §7 "fork drift"):
+  * ``debug_subset`` replaces the reference's hardcoded 100/50/50-file debug
+    slices (``main.py:289,318,333``); it is off by default.
+  * string booleans ("True"/"False") are accepted everywhere the reference
+    used them (``utils.py:15-33``) but plain JSON booleans work too.
+  * dormant reference keys (mixup / label smoothing / adversarial training,
+    ``config/AASIST-Robust.conf``) are parsed into ``extras`` so configs load
+    without loss, and are implemented by the trainer where noted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+
+def str_to_bool(val: Union[str, bool, int]) -> bool:
+    """Truthy-string conversion, equivalent of ``utils.py:15-33``."""
+    if isinstance(val, bool):
+        return val
+    if isinstance(val, int):
+        return bool(val)
+    v = str(val).lower()
+    if v in ("y", "yes", "t", "true", "on", "1"):
+        return True
+    if v in ("n", "no", "f", "false", "off", "0"):
+        return False
+    raise ValueError(f"invalid truth value {val!r}")
+
+
+@dataclasses.dataclass
+class OptimConfig:
+    """Optimizer + schedule settings (reference ``optim_config`` block)."""
+
+    optimizer: str = "adam"
+    base_lr: float = 1e-4
+    lr_min: float = 5e-6
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 1e-4
+    amsgrad: bool = False
+    momentum: float = 0.9
+    nesterov: bool = False
+    scheduler: str = "cosine"
+    # scheduler extras
+    milestones: Tuple[int, ...] = ()
+    lr_decay: float = 0.1
+    T0: int = 10
+    Tmult: int = 2
+    keras_decay: float = 1e-4
+    # filled in by the trainer (reference main.py:122)
+    epochs: int = 0
+    steps_per_epoch: int = 0
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "OptimConfig":
+        kw: Dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            if f.name in d:
+                v = d[f.name]
+                if f.name in ("amsgrad", "nesterov"):
+                    v = str_to_bool(v)
+                elif f.name in ("betas", "milestones"):
+                    v = tuple(v)
+                kw[f.name] = v
+        return cls(**kw)
+
+
+@dataclasses.dataclass
+class DynamicChunkConfig:
+    """Dynamic chunk size (DCS) training windowing (``data_utils.py:68-97``)."""
+
+    enabled: bool = False
+    min_samples: int = 16000
+    max_samples: int = 96000
+    # TPU-specific: XLA needs static shapes, so DCS lengths are snapped to a
+    # fixed set of bucket lengths to bound recompilation (SURVEY.md §7).
+    num_buckets: int = 6
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DynamicChunkConfig":
+        return cls(
+            enabled=str_to_bool(d.get("enabled", False)),
+            min_samples=int(d.get("min_samples", 16000)),
+            max_samples=int(d.get("max_samples", 96000)),
+            num_buckets=int(d.get("num_buckets", 6)),
+        )
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    """Top-level experiment config mirroring the reference JSON layout."""
+
+    model_config: Dict[str, Any]
+    optim_config: OptimConfig
+    database_path: str = ""
+    asv_score_path: str = ""
+    model_path: str = ""
+    batch_size: int = 24
+    num_epochs: int = 100
+    loss: str = "CCE"
+    track: str = "LA"
+    eval_all_best: bool = True
+    eval_output: str = "eval_scores.txt"
+    freq_aug: bool = False
+    # AM-Softmax / ALMFT (AASIST2.conf; reference main.py:422-437)
+    am_softmax_scale: float = 15.0
+    adaptive_margin: bool = True
+    margin_a: float = 3 / 50
+    margin_b: float = 7 / 50
+    margin: float = 0.2
+    dynamic_chunk: DynamicChunkConfig = dataclasses.field(
+        default_factory=DynamicChunkConfig)
+    # rebuild-specific knobs
+    debug_subset: Optional[Tuple[int, int, int]] = None  # (train, dev, eval)
+    seed: int = 1234
+    # everything else from the JSON, preserved verbatim
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    KNOWN_KEYS = {
+        "model_config", "optim_config", "database_path", "asv_score_path",
+        "model_path", "batch_size", "num_epochs", "loss", "track",
+        "eval_all_best", "eval_output", "freq_aug", "am_softmax_scale",
+        "adaptive_margin", "margin_a", "margin_b", "margin", "dynamic_chunk",
+        "debug_subset", "seed",
+    }
+
+    def __post_init__(self):
+        if self.track not in ("LA", "PA", "DF"):
+            raise ValueError(f"Invalid track given: {self.track}")
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        optim = OptimConfig.from_dict(d.pop("optim_config", {}))
+        optim.epochs = int(d.get("num_epochs", 100))
+        model_config = dict(d.pop("model_config", {}))
+        dcs = DynamicChunkConfig.from_dict(d.pop("dynamic_chunk", {}))
+        kw: Dict[str, Any] = {}
+        extras: Dict[str, Any] = {}
+        bool_keys = {"eval_all_best", "freq_aug", "adaptive_margin"}
+        for k, v in d.items():
+            if k in cls.KNOWN_KEYS:
+                if k in bool_keys:
+                    v = str_to_bool(v)
+                elif k == "debug_subset" and v is not None:
+                    v = tuple(v)
+                kw[k] = v
+            else:
+                extras[k] = v
+        return cls(model_config=model_config, optim_config=optim,
+                   dynamic_chunk=dcs, extras=extras, **kw)
+
+    @property
+    def architecture(self) -> str:
+        return self.model_config["architecture"]
+
+    def model_tag(self, config_name: str, comment: str = "") -> str:
+        """Run-directory tag, format-compatible with ``main.py:70-76``."""
+        tag = f"{self.track}_{config_name}_ep{self.num_epochs}_bs{self.batch_size}"
+        if comment:
+            tag += f"_{comment}"
+        return tag
+
+    # --- dataset paths (reference main.py:58-67, 270-283) -----------------
+    def _db(self) -> Path:
+        return Path(self.database_path)
+
+    def protocol_path(self, split: str) -> Path:
+        prefix = f"ASVspoof2019.{self.track}"
+        sub = {"train": f"{prefix}.cm.train.trn.txt",
+               "dev": f"{prefix}.cm.dev.trl.txt",
+               "eval": f"{prefix}.cm.eval.trl.txt"}[split]
+        return self._db() / f"ASVspoof2019_{self.track}_cm_protocols" / sub
+
+    def audio_dir(self, split: str) -> Path:
+        return self._db() / f"ASVspoof2019_{self.track}_{split}"
+
+    def asv_scores(self) -> Path:
+        return self._db() / self.asv_score_path
+
+
+def load_config(path: Union[str, Path]) -> ExperimentConfig:
+    """Load an experiment config from a reference-format JSON ``.conf``."""
+    with open(path, "r") as f:
+        return ExperimentConfig.from_dict(json.loads(f.read()))

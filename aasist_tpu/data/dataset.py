@@ -1,0 +1,277 @@
+"""Waveform loading, padding policies, and device-feeding batchers.
+
+TPU-first counterpart of the reference data layer
+(`/root/reference/data_utils.py:45-213` + DataLoader assembly at
+`main.py:262-344`):
+
+  * audio decode happens on host threads (aasist_tpu.data.audio_io: native
+    C++ FLAC decoder / NumPy WAV reader), standing in for the reference's
+    soundfile DataLoader workers;
+  * padding policies are reproduced: fixed 64,600-sample crop-or-tile for
+    dev/eval (``pad`` -> :func:`pad_to_fixed`), random crop/tile
+    (``pad_random``), and dynamic chunk size (DCS, ``dynamic_chunk_size``);
+  * where the reference fed XLA-hostile ragged batches (`pad_sequence`
+    collate, zero-padded to a per-batch max length — `data_utils.py:100-119`),
+    DCS lengths here are snapped to a small fixed set of bucket lengths so
+    jit recompiles a bounded number of times (SURVEY.md §7 "hard parts");
+  * batches land on device sharded along the batch axis of a
+    `jax.sharding.Mesh` (data parallelism), with an async prefetch depth
+    of 2 so host decode overlaps device compute.
+
+The reference's silent zero-tensor-on-error path (`data_utils.py:189-194`,
+which mislabeled corrupt files as bonafide) is intentionally NOT
+replicated: read errors raise.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from pathlib import Path
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aasist_tpu.data import audio_io
+
+FIXED_EVAL_LEN = 64600      # ~4.04 s @ 16 kHz (data_utils.py:45)
+FIXED_TRAIN_LEN = 96000     # 6 s  @ 16 kHz (data_utils.py:128)
+
+
+# ------------------------------------------------------------- pad policies
+def pad_to_fixed(x: np.ndarray, max_len: int = FIXED_EVAL_LEN) -> np.ndarray:
+    """Crop, or tile-repeat then crop, to exactly ``max_len`` samples."""
+    n = x.shape[0]
+    if n >= max_len:
+        return x[:max_len]
+    reps = max_len // n + 1
+    return np.tile(x, reps)[:max_len]
+
+
+def pad_random(x: np.ndarray, max_len: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """Random-crop when long; tile-repeat when short (data_utils.py:55-65)."""
+    n = x.shape[0]
+    if n > max_len:
+        start = rng.integers(0, n - max_len)
+        return x[start:start + max_len]
+    if n == max_len:
+        return x
+    reps = max_len // n + 1
+    return np.tile(x, reps)[:max_len]
+
+
+def bucket_lengths(min_samples: int, max_samples: int,
+                   num_buckets: int) -> np.ndarray:
+    """Static DCS length buckets, multiples of 4 (collate rule kept from
+    data_utils.py:106-109 so time dims stay divisible through the model)."""
+    ls = np.linspace(min_samples, max_samples, num_buckets)
+    return (np.round(ls / 4).astype(np.int64) * 4)
+
+
+def dynamic_chunk(x: np.ndarray, rng: np.random.Generator,
+                  buckets: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Dynamic chunk size, bucketed for static XLA shapes.
+
+    The reference draws target_len ~ U{min..max} per sample
+    (data_utils.py:84) and zero-pads each batch to its max length; here the
+    draw is snapped to the nearest bucket so each batch has one of
+    ``len(buckets)`` static shapes.  Returns (wave, duration_seconds) with
+    duration = target_len/16000 as in the reference (used by the
+    duration-adaptive ALMFT margin).
+    """
+    target = int(rng.choice(buckets))
+    duration = target / 16000.0
+    n = x.shape[0]
+    if n >= target:
+        start = rng.integers(0, n - target + 1)
+        return x[start:start + target], duration
+    reps = target // n + 1
+    return np.tile(x, reps)[:target], duration
+
+
+# ------------------------------------------------------------- audio store
+class AudioStore:
+    """Reads waveforms for utterance ids from a dataset directory.
+
+    Layout matches ASVspoof2019: ``{base_dir}/flac/{utt_id}.flac``; plain
+    ``.wav`` files are also accepted (used by the synthetic test fixture).
+    """
+
+    def __init__(self, base_dir):
+        self.base_dir = Path(base_dir)
+        self._flac = self.base_dir / "flac"
+
+    def read(self, utt_id: str) -> np.ndarray:
+        for ext in (".flac", ".wav"):
+            p = self._flac / f"{utt_id}{ext}"
+            if p.exists():
+                data, _sr = audio_io.read_audio(p)
+                return np.asarray(data)
+        raise FileNotFoundError(
+            f"no audio for {utt_id!r} under {self._flac}")
+
+
+# ---------------------------------------------------------------- batchers
+def _device_put_sharded(batch_np: np.ndarray, sharding=None):
+    import jax
+    if sharding is None:
+        return jax.device_put(batch_np)
+    return jax.device_put(batch_np, sharding)
+
+
+def _pad_batch_rows(rows: List[np.ndarray], pad_rows_to: int
+                    ) -> Tuple[np.ndarray, int]:
+    """Stack rows, padding the batch dim to ``pad_rows_to`` by repeating the
+    last row (keeps shapes static for jit; callers mask out the tail)."""
+    n_real = len(rows)
+    if n_real < pad_rows_to:
+        rows = rows + [rows[-1]] * (pad_rows_to - n_real)
+    return np.stack(rows).astype(np.float32), n_real
+
+
+class EvalBatcher:
+    """Deterministic fixed-length batches for dev/eval scoring.
+
+    Equivalent of ``Dataset_ASVspoof2019_deveval`` + its DataLoader
+    (data_utils.py:196-213, main.py:321-342), with: fixed 64,600-sample
+    padding, static batch shapes (tail batch padded by repetition and
+    masked), threaded decode, and prefetch onto the device mesh.
+    """
+
+    def __init__(self, store: AudioStore, utt_ids: Sequence[str],
+                 batch_size: int, sharding=None, num_threads: int = 8,
+                 fixed_len: int = FIXED_EVAL_LEN, prefetch: int = 2):
+        self.store = store
+        self.utt_ids = list(utt_ids)
+        self.batch_size = batch_size
+        self.sharding = sharding
+        self.fixed_len = fixed_len
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return -(-len(self.utt_ids) // self.batch_size)
+
+    def _load_one(self, utt_id: str) -> np.ndarray:
+        return pad_to_fixed(self.store.read(utt_id), self.fixed_len)
+
+    def __iter__(self) -> Iterator[Tuple[object, List[str], int]]:
+        """Yields (device_batch (B, L), utt_ids, n_real)."""
+        def produce(out_q: queue.Queue):
+            try:
+                with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                    for i in range(0, len(self.utt_ids), self.batch_size):
+                        ids = self.utt_ids[i:i + self.batch_size]
+                        rows = list(pool.map(self._load_one, ids))
+                        batch, n_real = _pad_batch_rows(rows, self.batch_size)
+                        out_q.put((batch, ids, n_real))
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(e)
+                return
+            out_q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            batch, ids, n_real = item
+            yield _device_put_sharded(batch, self.sharding), ids, n_real
+
+
+class TrainBatcher:
+    """Shuffled training batches with fixed-length or bucketed-DCS windows.
+
+    Equivalent of ``Dataset_ASVspoof2019_train`` + train DataLoader
+    (data_utils.py:121-194, main.py:297-312): per-epoch shuffle with a
+    seeded generator, drop_last semantics, labels taken from the protocol
+    (bonafide=1 — fixing fork drift #2), waveform windows either fixed
+    96,000 samples or DCS-bucketed with per-sample durations for ALMFT.
+    """
+
+    def __init__(self, store: AudioStore, utt_ids: Sequence[str],
+                 labels: dict, batch_size: int, seed: int,
+                 dcs_buckets: Optional[np.ndarray] = None,
+                 fixed_len: int = FIXED_TRAIN_LEN,
+                 sharding=None, num_threads: int = 8, prefetch: int = 2):
+        self.store = store
+        self.utt_ids = list(utt_ids)
+        self.labels = labels
+        self.batch_size = batch_size
+        self.seed = seed
+        self.dcs_buckets = dcs_buckets
+        self.fixed_len = fixed_len
+        self.sharding = sharding
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.utt_ids) // self.batch_size  # drop_last
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_rng(self) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch))
+
+    def __iter__(self):
+        """Yields (x_dev (B, L), y_dev (B,), durations (B,)) on device."""
+        rng = self._epoch_rng()
+        order = rng.permutation(len(self.utt_ids))
+        n_batches = len(self)
+
+        # one target length per batch (all rows share a static shape)
+        if self.dcs_buckets is not None:
+            batch_lens = rng.choice(self.dcs_buckets, size=n_batches)
+        else:
+            batch_lens = np.full(n_batches, self.fixed_len, dtype=np.int64)
+
+        def load_row(utt_id: str, target: int,
+                     row_rng: np.random.Generator):
+            x = self.store.read(utt_id)
+            return pad_random(x, target, row_rng)
+
+        def produce(out_q: queue.Queue):
+            try:
+                with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                    for b in range(n_batches):
+                        idx = order[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        ids = [self.utt_ids[i] for i in idx]
+                        target = int(batch_lens[b])
+                        row_rngs = [np.random.default_rng(
+                            (self.seed, self.epoch, b, j))
+                            for j in range(len(ids))]
+                        rows = list(pool.map(load_row, ids,
+                                             [target] * len(ids), row_rngs))
+                        x = np.stack(rows).astype(np.float32)
+                        y = np.asarray([self.labels[u] for u in ids],
+                                       np.int32)
+                        dur = np.full(len(ids), target / 16000.0, np.float32)
+                        out_q.put((x, y, dur))
+            except BaseException as e:
+                out_q.put(e)
+                return
+            out_q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            x, y, dur = item
+            yield (_device_put_sharded(x, self.sharding),
+                   _device_put_sharded(y, self.sharding),
+                   _device_put_sharded(dur, self.sharding))

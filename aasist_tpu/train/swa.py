@@ -1,0 +1,71 @@
+"""Stochastic weight averaging.
+
+Reference uses torchcontrib SWA in "manual" mode (`main.py:124,206-208,
+214-217`): snapshot the weights on every new best-dev epoch, average the
+snapshots at the end, then re-estimate batch-norm statistics with a pass
+over the training loader.  Implemented here as a pure running mean over
+parameter pytrees + a jitted BN re-estimation step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SWAState:
+    """Running average of parameter pytrees (torchcontrib SWA semantics:
+    avg_n+1 = (avg_n * n + w) / (n + 1))."""
+
+    def __init__(self):
+        self.n: int = 0
+        self.avg: Optional[Any] = None
+
+    def update(self, params: Any) -> None:
+        if self.avg is None:
+            self.avg = jax.tree_util.tree_map(jnp.asarray, params)
+        else:
+            n = self.n
+            self.avg = jax.tree_util.tree_map(
+                lambda a, w: (a * n + w) / (n + 1), self.avg, params)
+        self.n += 1
+
+
+def reestimate_bn_stats(model, params, state, batches, *,
+                        max_batches: Optional[int] = None):
+    """Recompute BN running stats under ``params`` (SWA ``bn_update``).
+
+    torchcontrib resets BN momentum so the pass computes a true average
+    over loader batches; here we run the model in train mode with
+    momentum=1/(i+1) cumulative averaging, which reproduces that behaviour
+    for our two-leaf (mean, var) state trees.
+    """
+    from aasist_tpu.nn import BN_MOMENTUM
+
+    def batch_stats_step(p, s, x, rng):
+        """Pure per-batch BN statistics, recovered from the running update:
+        new = (1-m)*old + m*batch  =>  batch = (new - (1-m)*old) / m."""
+        (_, _), new_s = model.apply(p, s, x, train=True, rng=rng)
+        m = BN_MOMENTUM
+        return jax.tree_util.tree_map(
+            lambda new, old: (new - (1 - m) * old) / m, new_s, s)
+
+    jit_step = jax.jit(batch_stats_step)
+    agg = None
+    count = 0
+    rng = jax.random.PRNGKey(0)
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        x = batch[0] if isinstance(batch, (tuple, list)) else batch
+        rng, sub = jax.random.split(rng)
+        batch_stats = jit_step(params, state, x, sub)
+        if agg is None:
+            agg = batch_stats
+        else:
+            agg = jax.tree_util.tree_map(
+                lambda a, b: a + (b - a) / (count + 1), agg, batch_stats)
+        count += 1
+    return agg if agg is not None else state
