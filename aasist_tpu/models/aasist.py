@@ -71,6 +71,10 @@ class AasistModel:
         # precomputed deterministic sinc filterbank (AASIST.py:460-482)
         self.filterbank = L.sinc_filterbank(self.filts[0], self.first_conv)
 
+        # compute dtype for the conv trunk (bf16 on TPU doubles MXU rate and
+        # halves HBM traffic; callers cast params to match).  fp32 default.
+        self.compute_dtype = jnp.dtype(model_config.get("dtype", "float32"))
+
         # encoder channel plan: filts[1..4] as (in, out) pairs, last repeated
         self.block_channels = [tuple(self.filts[1]), tuple(self.filts[2]),
                                tuple(self.filts[3]), tuple(self.filts[4]),
@@ -142,7 +146,8 @@ class AasistModel:
         rngs = RngStream(rng)
         new_state: State = {}
 
-        bank = jnp.asarray(self.filterbank)
+        x = x.astype(self.compute_dtype)
+        bank = jnp.asarray(self.filterbank, dtype=self.compute_dtype)
         if freq_aug:
             aug_rng = rngs.next()
             if aug_rng is None:

@@ -1,0 +1,117 @@
+"""Benchmark: AASIST batched inference throughput (utterances/sec/chip).
+
+Runs the flagship AASIST (pretrained-checkpoint geometry, converted
+weights when available) on the attached accelerator at the reference's
+fixed eval length (64,600 samples — data_utils.py:45), sweeping batch
+size down from large until one fits, then timing steady-state jitted
+forwards with block_until_ready.
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md);
+the driver's north-star target is 5,000 utt/s/chip on TPU v5e, so
+``vs_baseline`` is value / 5000.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+FIXED_LEN = 64600
+TARGET_BASELINE = 5000.0
+
+
+def main() -> int:
+    import jax
+
+    from aasist_tpu.registry import build_model
+
+    dtype = os.environ.get("BENCH_DTYPE", "bf16")
+    conf = {
+        "architecture": "AASIST",
+        "first_conv": 128,
+        "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+        "gat_dims": [64, 32],
+        "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+        "temperatures": [2.0, 2.0, 100.0, 100.0],
+        "dtype": "bfloat16" if dtype == "bf16" else "float32",
+    }
+    model = build_model(conf)
+
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "checkpoints", "AASIST.npz")
+    if os.path.exists(ckpt):
+        from aasist_tpu.train.checkpoints import load_weights
+        params, state = load_weights(ckpt)
+    else:
+        params, state = model.init(jax.random.PRNGKey(0))
+
+    import jax.numpy as jnp
+
+    if dtype == "bf16":
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t)
+        params, state = cast(params), cast(state)
+
+    # NB: the scalar reduction is the synchronisation point — on the
+    # tunneled axon backend block_until_ready returns before execution
+    # finishes, so timing must be bounded by a host fetch.
+    def forward(p, s, x):
+        (_, logits), _ = model.apply(p, s, x, train=False)
+        return jnp.sum(logits.astype(jnp.float32))
+
+    fwd = jax.jit(forward)
+    rng = np.random.default_rng(0)
+
+    value = None
+    batch_used = None
+    for batch in (int(os.environ.get("BENCH_BATCH", 0)),
+                  256, 128, 64, 32, 16):
+        if batch <= 0:
+            continue
+        try:
+            x = rng.standard_normal((batch, FIXED_LEN)).astype(np.float32)
+            x = jax.device_put(x)
+            # compile + warmup (first compile can take minutes remotely)
+            float(fwd(params, state, x))
+            float(fwd(params, state, x))
+            n_iters = max(3, int(2048 / batch))
+            t0 = time.perf_counter()
+            for _ in range(n_iters):
+                float(fwd(params, state, x))
+            dt = time.perf_counter() - t0
+            value = batch * n_iters / dt
+            batch_used = batch
+            break
+        except Exception as e:  # OOM at this batch — try smaller
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                continue
+            raise
+    if value is None:
+        print(json.dumps({"metric": "aasist_eval_throughput", "value": 0,
+                          "unit": "utt/s/chip", "vs_baseline": 0,
+                          "error": "no batch size fit"}))
+        return 1
+
+    print(json.dumps({
+        "metric": "aasist_eval_throughput",
+        "value": round(value, 2),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(value / TARGET_BASELINE, 4),
+        "batch": batch_used,
+        "dtype": dtype,
+        "device": str(jax.devices()[0]),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
