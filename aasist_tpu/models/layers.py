@@ -294,17 +294,19 @@ def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
 # =====================================================================
 def se_init(rng, channels: int, reduction: int = 16) -> Params:
     k1, k2 = jax.random.split(rng)
-    return {
-        "fc1": nn.linear_init(k1, channels, channels // reduction, bias=False),
-        "fc2": nn.linear_init(k2, channels // reduction, channels, bias=False),
-    }
+    # "0"/"2" keys mirror the reference's nn.Sequential indices
+    # (models/AASIST.py:511-516) so checkpoint conversion is mechanical
+    return {"fc": {
+        "0": nn.linear_init(k1, channels, channels // reduction, bias=False),
+        "2": nn.linear_init(k2, channels // reduction, channels, bias=False),
+    }}
 
 
 def se_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Squeeze-and-excitation over NCHW (models/AASIST.py:506-522)."""
     y = jnp.mean(x, axis=(2, 3))                          # (B, C)
-    y = jax.nn.relu(nn.linear(p["fc1"], y))
-    y = jax.nn.sigmoid(nn.linear(p["fc2"], y))
+    y = jax.nn.relu(nn.linear(p["fc"]["0"], y))
+    y = jax.nn.sigmoid(nn.linear(p["fc"]["2"], y))
     return x * y[:, :, None, None]
 
 
@@ -393,13 +395,17 @@ def res2net_block_apply(p: Params, s: State, x: jnp.ndarray, *,
 def speaker_cond_init(rng, spk_emb_dim: int, target_dim: int,
                       use_attention: bool = True) -> Params:
     ks = jax.random.split(rng, 5)
+    # nested "0"/"2" keys mirror the reference's nn.Sequential layout
+    # (models/AASIST.py:349-368) for mechanical checkpoint conversion
     p: Params = {
         "proj": nn.linear_init(ks[0], spk_emb_dim, target_dim),
-        "fusion0": nn.linear_init(ks[1], target_dim * 2, target_dim),
+        "fusion": {"0": nn.linear_init(ks[1], target_dim * 2, target_dim)},
     }
     if use_attention:
-        p["att0"] = nn.linear_init(ks[2], target_dim * 2, target_dim)
-        p["att1"] = nn.linear_init(ks[3], target_dim, 1)
+        p["attention"] = {
+            "0": nn.linear_init(ks[2], target_dim * 2, target_dim),
+            "2": nn.linear_init(ks[3], target_dim, 1),
+        }
     return p
 
 
@@ -414,15 +420,17 @@ def speaker_cond_apply(p: Params, features: jnp.ndarray,
             spk[:, None, :], (features.shape[0], seq_len, spk.shape[-1]))
         if use_attention:
             cat = jnp.concatenate([features, spk_seq], axis=2)
-            w = nn.linear(p["att1"], jnp.tanh(nn.linear(p["att0"], cat)))
+            w = nn.linear(p["attention"]["2"],
+                          jnp.tanh(nn.linear(p["attention"]["0"], cat)))
             w = jax.nn.softmax(w, axis=1)                 # (B, T, 1)
             spk_ctx = w * spk_seq
             return jax.nn.relu(nn.linear(
-                p["fusion0"], jnp.concatenate([features, spk_ctx], axis=2)))
+                p["fusion"]["0"],
+                jnp.concatenate([features, spk_ctx], axis=2)))
         return jax.nn.relu(nn.linear(
-            p["fusion0"], jnp.concatenate([features, spk_seq], axis=2)))
+            p["fusion"]["0"], jnp.concatenate([features, spk_seq], axis=2)))
     # utterance level
     if features.ndim == 3:
         features = jnp.mean(features, axis=1)
     return jax.nn.relu(nn.linear(
-        p["fusion0"], jnp.concatenate([features, spk], axis=1)))
+        p["fusion"]["0"], jnp.concatenate([features, spk], axis=1)))

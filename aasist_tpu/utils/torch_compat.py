@@ -31,7 +31,7 @@ def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
     return {k: v.detach().numpy() for k, v in sd.items()}
 
 
-_SEQ_WRAPPER = re.compile(r"^(encoder(?:_[ST])?\.\d+)\.0\.")
+_SEQ_WRAPPER = re.compile(r"^(encoder(?:_[ST])?\.\d+|block\d+)\.0\.")
 _STAT_NAMES = {"running_mean": "mean", "running_var": "var"}
 
 
