@@ -1,0 +1,118 @@
+"""ctypes bindings for the native C++ FLAC decoder.
+
+Loads ``aasist_tpu/_native/libflacdec.so`` (built by
+``tools/build_native.py``; auto-builds on first use if g++ is available).
+Returns float64 waveforms in [-1, 1) with soundfile's int scaling
+(value / 2**(bps-1)), matching what the reference's data layer saw.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sys
+import threading
+from pathlib import Path
+from typing import Tuple
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).resolve().parent.parent / "_native" / "libflacdec.so"
+_lock = threading.Lock()
+_lib = None
+
+
+class FlacDecodeError(RuntimeError):
+    pass
+
+
+def _ensure_built() -> Path:
+    if _LIB_PATH.exists():
+        return _LIB_PATH
+    tools = _LIB_PATH.parent.parent.parent / "tools" / "build_native.py"
+    try:
+        subprocess.run([sys.executable, str(tools)], check=True,
+                       capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        raise FlacDecodeError(
+            f"native FLAC decoder not built and auto-build failed: {e}")
+    if not _LIB_PATH.exists():
+        raise FlacDecodeError("native FLAC decoder build produced no library")
+    return _LIB_PATH
+
+
+def _get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(str(_ensure_built()))
+            lib.flac_decode_file.restype = ctypes.c_int
+            lib.flac_decode_file.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.flac_decode_buffer.restype = ctypes.c_int
+            lib.flac_decode_buffer.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+            _lib = lib
+    return _lib
+
+
+def _finish(lib, rc, err, samples_p, n_frames, sr, channels, bps
+            ) -> Tuple[np.ndarray, int]:
+    if rc != 0:
+        raise FlacDecodeError(err.value.decode() or f"decode error {rc}")
+    n = n_frames.value * channels.value
+    try:
+        arr = np.ctypeslib.as_array(samples_p, shape=(n,)).copy()
+    finally:
+        lib.flac_free(samples_p)
+    x = arr.astype(np.float64) / float(1 << (bps.value - 1))
+    if channels.value > 1:
+        x = x.reshape(-1, channels.value)
+    return x, sr.value
+
+
+def read_flac(path) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file -> (float64 waveform, sample_rate)."""
+    lib = _get_lib()
+    samples_p = ctypes.POINTER(ctypes.c_int32)()
+    n_frames = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    err = ctypes.create_string_buffer(128)
+    rc = lib.flac_decode_file(
+        str(path).encode(), ctypes.byref(samples_p), ctypes.byref(n_frames),
+        ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(bps),
+        err, len(err))
+    return _finish(lib, rc, err, samples_p, n_frames, sr, channels, bps)
+
+
+def read_flac_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory FLAC stream -> (float64 waveform, sample_rate)."""
+    lib = _get_lib()
+    samples_p = ctypes.POINTER(ctypes.c_int32)()
+    n_frames = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    err = ctypes.create_string_buffer(128)
+    rc = lib.flac_decode_buffer(
+        data, len(data), ctypes.byref(samples_p), ctypes.byref(n_frames),
+        ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(bps),
+        err, len(err))
+    return _finish(lib, rc, err, samples_p, n_frames, sr, channels, bps)

@@ -44,8 +44,15 @@ def _synth_wave(rng: np.random.Generator, spoof: bool,
 def generate(root, n_train: int = 32, n_dev: int = 16, n_eval: int = 24,
              seed: int = 0, track: str = "LA",
              min_duration_s: float = 1.5,
-             max_duration_s: float = 5.0) -> Dict[str, List[str]]:
-    """Create the fixture under ``root``; returns utt ids per split."""
+             max_duration_s: float = 5.0,
+             audio_format: str = "flac") -> Dict[str, List[str]]:
+    """Create the fixture under ``root``; returns utt ids per split.
+
+    ``audio_format="flac"`` (default) writes real FLAC through the
+    framework's pure-Python encoder so the native C++ decoder is on the
+    end-to-end path, exactly as with the real corpus; ``"wav"`` avoids
+    the native build (e.g. on hosts without g++).
+    """
     rng = np.random.default_rng(seed)
     root = Path(root)
     proto_dir = root / f"ASVspoof2019_{track}_cm_protocols"
@@ -68,7 +75,13 @@ def generate(root, n_train: int = 32, n_dev: int = 16, n_eval: int = 24,
             spk = f"{track}_{1000 + i % 7}"
             dur = rng.uniform(min_duration_s, max_duration_s)
             wave = _synth_wave(rng, spoof, dur)
-            write_wav(flac_dir / f"{utt}.wav", wave, SR)
+            if audio_format == "flac":
+                from aasist_tpu.data.flac_encode import write_flac
+                pcm = np.clip(np.round(wave * 32768.0), -32768,
+                              32767).astype(np.int64)
+                write_flac(flac_dir / f"{utt}.flac", pcm, SR)
+            else:
+                write_wav(flac_dir / f"{utt}.wav", wave, SR)
             src = f"A{rng.integers(7, 20):02d}" if spoof else "-"
             key = "spoof" if spoof else "bonafide"
             lines.append(f"{spk} {utt} - {src} {key}")

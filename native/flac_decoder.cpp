@@ -1,0 +1,539 @@
+// Native FLAC decoder for the aasist_tpu data loader.
+//
+// The reference delegated flac decode to libsndfile via python-soundfile
+// (/root/reference/data_utils.py:164,207); this environment ships no audio
+// codec at all, so the framework brings its own. Decode-only, covering the
+// full FLAC subset relevant to speech corpora (and then some):
+//   - metadata: STREAMINFO parsed, all other blocks skipped
+//   - frames: all block-size/sample-rate codes, UTF-8 coded frame numbers
+//   - subframes: CONSTANT, VERBATIM, FIXED (orders 0-4), LPC (orders 1-32)
+//   - residual: Rice methods 0 and 1, partitioned, escape codes
+//   - stereo decorrelation: left-side, right-side, mid-side
+//   - wasted bits, 8/16/24/32-bit samples
+//   - CRC-16 frame verification (decode aborts on mismatch)
+//
+// Exposed as a tiny C ABI (flac_decode_file / flac_decode_buffer /
+// flac_free) consumed via ctypes from aasist_tpu/data/flac_native.py.
+// Samples are returned as int32 (original bit depth reported separately);
+// the Python side scales to float64 in [-1, 1) exactly like soundfile.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte_pos = 0;
+  int bit_pos = 0;  // 0..7, MSB first
+  bool error = false;
+
+  BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
+
+  inline bool aligned() const { return bit_pos == 0; }
+
+  inline void align() {
+    if (bit_pos) {
+      bit_pos = 0;
+      byte_pos++;
+    }
+  }
+
+  inline uint32_t read_bit() {
+    if (byte_pos >= size) {
+      error = true;
+      return 0;
+    }
+    uint32_t b = (data[byte_pos] >> (7 - bit_pos)) & 1u;
+    if (++bit_pos == 8) {
+      bit_pos = 0;
+      byte_pos++;
+    }
+    return b;
+  }
+
+  // n <= 32
+  inline uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    while (n > 0) {
+      if (byte_pos >= size) {
+        error = true;
+        return v;
+      }
+      int avail = 8 - bit_pos;
+      int take = n < avail ? n : avail;
+      uint32_t chunk =
+          (data[byte_pos] >> (avail - take)) & ((1u << take) - 1u);
+      v = (v << take) | chunk;
+      bit_pos += take;
+      if (bit_pos == 8) {
+        bit_pos = 0;
+        byte_pos++;
+      }
+      n -= take;
+    }
+    return v;
+  }
+
+  inline uint64_t read_bits64(int n) {
+    uint64_t v = 0;
+    if (n > 32) {
+      v = read_bits(n - 32);
+      v = (v << 32) | read_bits(32);
+    } else {
+      v = read_bits(n);
+    }
+    return v;
+  }
+
+  inline int32_t read_signed(int n) {
+    if (n == 0) return 0;
+    uint32_t v = read_bits(n);
+    // sign-extend
+    uint32_t m = 1u << (n - 1);
+    return (int32_t)((v ^ m) - m);
+  }
+
+  inline uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!error && read_bit() == 0) q++;
+    return q;
+  }
+};
+
+uint8_t crc8(const uint8_t* d, size_t n) {
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; i++) {
+    crc ^= d[i];
+    for (int k = 0; k < 8; k++)
+      crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+  }
+  return crc;
+}
+
+uint16_t crc16(const uint8_t* d, size_t n) {
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; i++) {
+    crc ^= (uint16_t)d[i] << 8;
+    for (int k = 0; k < 8; k++)
+      crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                           : (uint16_t)(crc << 1);
+  }
+  return crc;
+}
+
+struct StreamInfo {
+  uint32_t sample_rate = 0;
+  uint32_t channels = 0;
+  uint32_t bps = 0;
+  uint64_t total_samples = 0;
+};
+
+// Decodes one channel's residual into out[pred_order..block_size)
+bool decode_residual(BitReader& br, int pred_order, int block_size,
+                     int32_t* out) {
+  uint32_t method = br.read_bits(2);
+  if (method > 1) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t porder = br.read_bits(4);
+  uint32_t nparts = 1u << porder;
+  if (block_size % nparts != 0) return false;
+  int idx = pred_order;
+  for (uint32_t p = 0; p < nparts; p++) {
+    int count = (int)(block_size >> porder);
+    if (p == 0) count -= pred_order;
+    if (count < 0) return false;
+    uint32_t param = br.read_bits(plen);
+    if (param == escape) {
+      uint32_t nbits = br.read_bits(5);
+      for (int i = 0; i < count; i++)
+        out[idx++] = nbits ? br.read_signed((int)nbits) : 0;
+    } else {
+      for (int i = 0; i < count; i++) {
+        uint32_t q = br.read_unary();
+        uint32_t r = param ? br.read_bits((int)param) : 0;
+        uint32_t u = (q << param) | r;
+        out[idx++] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+      }
+    }
+    if (br.error) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int block_size, int bps_ch,
+                     std::vector<int32_t>& ch) {
+  if (br.read_bit() != 0) return false;  // reserved padding bit
+  uint32_t type = br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bit()) wasted = 1 + (int)br.read_unary();
+  int bps_eff = bps_ch - wasted;
+  if (bps_eff <= 0 || bps_eff > 32) return false;
+  ch.assign(block_size, 0);
+
+  if (type == 0) {  // CONSTANT
+    int32_t v = br.read_signed(bps_eff);
+    for (int i = 0; i < block_size; i++) ch[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < block_size; i++) ch[i] = br.read_signed(bps_eff);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
+    int order = (int)type - 8;
+    if (order > block_size) return false;
+    for (int i = 0; i < order; i++) ch[i] = br.read_signed(bps_eff);
+    if (!decode_residual(br, order, block_size, ch.data())) return false;
+    // integrate fixed predictor
+    switch (order) {
+      case 0:
+        break;
+      case 1:
+        for (int i = 1; i < block_size; i++) ch[i] += ch[i - 1];
+        break;
+      case 2:
+        for (int i = 2; i < block_size; i++)
+          ch[i] += 2 * ch[i - 1] - ch[i - 2];
+        break;
+      case 3:
+        for (int i = 3; i < block_size; i++)
+          ch[i] += 3 * ch[i - 1] - 3 * ch[i - 2] + ch[i - 3];
+        break;
+      case 4:
+        for (int i = 4; i < block_size; i++)
+          ch[i] += 4 * ch[i - 1] - 6 * ch[i - 2] + 4 * ch[i - 3] - ch[i - 4];
+        break;
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    int order = (int)(type & 31) + 1;
+    if (order > block_size) return false;
+    for (int i = 0; i < order; i++) ch[i] = br.read_signed(bps_eff);
+    uint32_t prec_m1 = br.read_bits(4);
+    if (prec_m1 == 0xF) return false;
+    int precision = (int)prec_m1 + 1;
+    int shift = br.read_signed(5);
+    if (shift < 0) return false;
+    int32_t coef[32];
+    for (int i = 0; i < order; i++) coef[i] = br.read_signed(precision);
+    if (!decode_residual(br, order, block_size, ch.data())) return false;
+    for (int i = order; i < block_size; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++)
+        acc += (int64_t)coef[j] * (int64_t)ch[i - 1 - j];
+      ch[i] += (int32_t)(acc >> shift);
+    }
+  } else {
+    return false;  // reserved types
+  }
+  if (wasted)
+    for (int i = 0; i < block_size; i++)
+      ch[i] = (int32_t)((uint32_t)ch[i] << wasted);
+  return !br.error;
+}
+
+struct DecodeResult {
+  std::vector<int32_t> samples;  // interleaved
+  StreamInfo info;
+  bool ok = false;
+  char error[128] = {0};
+};
+
+void fail(DecodeResult& r, const char* msg) {
+  snprintf(r.error, sizeof(r.error), "%s", msg);
+  r.ok = false;
+}
+
+DecodeResult decode(const uint8_t* data, size_t size) {
+  DecodeResult res;
+  BitReader br(data, size);
+  if (size < 42 || memcmp(data, "fLaC", 4) != 0) {
+    fail(res, "not a FLAC stream");
+    return res;
+  }
+  br.byte_pos = 4;
+
+  // metadata blocks
+  bool last = false;
+  bool have_streaminfo = false;
+  while (!last) {
+    if (br.byte_pos + 4 > size) {
+      fail(res, "truncated metadata");
+      return res;
+    }
+    uint8_t hdr = data[br.byte_pos];
+    last = hdr & 0x80;
+    uint8_t btype = hdr & 0x7F;
+    uint32_t blen = ((uint32_t)data[br.byte_pos + 1] << 16) |
+                    ((uint32_t)data[br.byte_pos + 2] << 8) |
+                    (uint32_t)data[br.byte_pos + 3];
+    br.byte_pos += 4;
+    if (btype == 0) {  // STREAMINFO
+      if (blen < 34 || br.byte_pos + 34 > size) {
+        fail(res, "bad STREAMINFO");
+        return res;
+      }
+      const uint8_t* p = data + br.byte_pos;
+      res.info.sample_rate = ((uint32_t)p[10] << 12) |
+                             ((uint32_t)p[11] << 4) | (p[12] >> 4);
+      res.info.channels = ((p[12] >> 1) & 0x7) + 1;
+      res.info.bps = (((p[12] & 1) << 4) | (p[13] >> 4)) + 1;
+      res.info.total_samples = ((uint64_t)(p[13] & 0xF) << 32) |
+                               ((uint64_t)p[14] << 24) |
+                               ((uint64_t)p[15] << 16) |
+                               ((uint64_t)p[16] << 8) | (uint64_t)p[17];
+      have_streaminfo = true;
+    }
+    br.byte_pos += blen;
+    if (br.byte_pos > size) {
+      fail(res, "truncated metadata block");
+      return res;
+    }
+  }
+  if (!have_streaminfo) {
+    fail(res, "missing STREAMINFO");
+    return res;
+  }
+  const StreamInfo& si = res.info;
+  if (si.channels < 1 || si.channels > 8 || si.bps < 4 || si.bps > 32) {
+    fail(res, "unsupported stream parameters");
+    return res;
+  }
+  if (si.total_samples)
+    res.samples.reserve((size_t)si.total_samples * si.channels);
+
+  std::vector<std::vector<int32_t>> chans(si.channels);
+
+  // frames
+  while (br.byte_pos < size) {
+    size_t frame_start = br.byte_pos;
+    // sync code 0b11111111111110
+    uint32_t sync = br.read_bits(14);
+    if (br.error) break;  // clean EOF
+    if (sync != 0x3FFE) {
+      fail(res, "lost frame sync");
+      return res;
+    }
+    br.read_bit();  // reserved
+    br.read_bit();  // blocking strategy
+    uint32_t bs_code = br.read_bits(4);
+    uint32_t sr_code = br.read_bits(4);
+    uint32_t ch_assign = br.read_bits(4);
+    uint32_t ss_code = br.read_bits(3);
+    br.read_bit();  // reserved
+
+    // UTF-8 coded frame/sample number: skip with validation
+    {
+      uint32_t b0 = br.read_bits(8);
+      int follow = 0;
+      if (b0 < 0x80) {
+        follow = 0;
+      } else {
+        uint32_t m = b0;
+        while (m & 0x40) {
+          follow++;
+          m <<= 1;
+        }
+        if (follow < 1 || follow > 6) {
+          fail(res, "bad UTF-8 frame number");
+          return res;
+        }
+      }
+      for (int i = 0; i < follow; i++) br.read_bits(8);
+    }
+
+    int block_size;
+    switch (bs_code) {
+      case 0:
+        fail(res, "reserved block size code");
+        return res;
+      case 1:
+        block_size = 192;
+        break;
+      case 6:
+        block_size = (int)br.read_bits(8) + 1;
+        break;
+      case 7:
+        block_size = (int)br.read_bits(16) + 1;
+        break;
+      default:
+        if (bs_code <= 5)
+          block_size = 576 << (bs_code - 2);
+        else
+          block_size = 256 << (bs_code - 8);
+    }
+    // sample rate field (value from STREAMINFO; codes 12-14 carry bits)
+    if (sr_code == 12)
+      br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14)
+      br.read_bits(16);
+    else if (sr_code == 15) {
+      fail(res, "invalid sample rate code");
+      return res;
+    }
+
+    int bps = (int)si.bps;
+    switch (ss_code) {
+      case 0:
+        break;  // from STREAMINFO
+      case 1:
+        bps = 8;
+        break;
+      case 2:
+        bps = 12;
+        break;
+      case 4:
+        bps = 16;
+        break;
+      case 5:
+        bps = 20;
+        break;
+      case 6:
+        bps = 24;
+        break;
+      case 7:
+        bps = 32;
+        break;
+      default:
+        fail(res, "reserved sample size code");
+        return res;
+    }
+
+    // header CRC-8 (covers sync..crc byte exclusive)
+    br.align();
+    {
+      size_t hdr_len = br.byte_pos - frame_start;
+      uint8_t expect = (uint8_t)br.read_bits(8);
+      if (crc8(data + frame_start, hdr_len) != expect) {
+        fail(res, "frame header CRC mismatch");
+        return res;
+      }
+    }
+
+    int nch;
+    if (ch_assign <= 7) {
+      nch = (int)ch_assign + 1;
+    } else if (ch_assign <= 10) {
+      nch = 2;
+    } else {
+      fail(res, "reserved channel assignment");
+      return res;
+    }
+    if ((uint32_t)nch != si.channels) {
+      fail(res, "channel count change mid-stream");
+      return res;
+    }
+
+    for (int c = 0; c < nch; c++) {
+      int bps_ch = bps;
+      // side channel carries one extra bit
+      if ((ch_assign == 8 && c == 1) ||   // left-side
+          (ch_assign == 9 && c == 0) ||   // right-side
+          (ch_assign == 10 && c == 1))    // mid-side
+        bps_ch += 1;
+      if (!decode_subframe(br, block_size, bps_ch, chans[c])) {
+        fail(res, "subframe decode failed");
+        return res;
+      }
+    }
+    br.align();
+    {
+      size_t body_len = br.byte_pos - frame_start;
+      uint16_t expect = (uint16_t)br.read_bits(16);
+      if (crc16(data + frame_start, body_len) != expect) {
+        fail(res, "frame CRC-16 mismatch");
+        return res;
+      }
+    }
+
+    // undo stereo decorrelation
+    if (ch_assign == 8) {  // left-side: right = left - side
+      for (int i = 0; i < block_size; i++)
+        chans[1][i] = chans[0][i] - chans[1][i];
+    } else if (ch_assign == 9) {  // right-side: left = right + side
+      for (int i = 0; i < block_size; i++)
+        chans[0][i] = chans[1][i] + chans[0][i];
+    } else if (ch_assign == 10) {  // mid-side
+      for (int i = 0; i < block_size; i++) {
+        int32_t mid = chans[0][i];
+        int32_t side = chans[1][i];
+        mid = (mid << 1) | (side & 1);
+        chans[0][i] = (mid + side) >> 1;
+        chans[1][i] = (mid - side) >> 1;
+      }
+    }
+
+    for (int i = 0; i < block_size; i++)
+      for (uint32_t c = 0; c < si.channels; c++)
+        res.samples.push_back(chans[c][i]);
+
+    if (si.total_samples &&
+        res.samples.size() >= si.total_samples * si.channels)
+      break;  // ignore trailing padding/id3 junk
+  }
+
+  if (si.total_samples &&
+      res.samples.size() > si.total_samples * si.channels)
+    res.samples.resize((size_t)(si.total_samples * si.channels));
+  res.ok = true;
+  return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. Caller frees *out_samples with flac_free.
+int flac_decode_buffer(const uint8_t* data, int64_t size,
+                       int32_t** out_samples, int64_t* out_n_frames,
+                       int32_t* out_sample_rate, int32_t* out_channels,
+                       int32_t* out_bps, char* err, int64_t err_len) {
+  DecodeResult r = decode(data, (size_t)size);
+  if (!r.ok) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
+    return 1;
+  }
+  size_t n = r.samples.size();
+  int32_t* buf = (int32_t*)malloc(n * sizeof(int32_t));
+  if (!buf) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
+    return 2;
+  }
+  memcpy(buf, r.samples.data(), n * sizeof(int32_t));
+  *out_samples = buf;
+  *out_n_frames = (int64_t)(n / r.info.channels);
+  *out_sample_rate = (int32_t)r.info.sample_rate;
+  *out_channels = (int32_t)r.info.channels;
+  *out_bps = (int32_t)r.info.bps;
+  return 0;
+}
+
+int flac_decode_file(const char* path, int32_t** out_samples,
+                     int64_t* out_n_frames, int32_t* out_sample_rate,
+                     int32_t* out_channels, int32_t* out_bps, char* err,
+                     int64_t err_len) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    if (err && err_len > 0)
+      snprintf(err, (size_t)err_len, "cannot open %s", path);
+    return 3;
+  }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  size_t rd = fread(buf.data(), 1, (size_t)sz, f);
+  fclose(f);
+  if (rd != (size_t)sz) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
+    return 4;
+  }
+  return flac_decode_buffer(buf.data(), sz, out_samples, out_n_frames,
+                            out_sample_rate, out_channels, out_bps, err,
+                            err_len);
+}
+
+void flac_free(int32_t* p) { free(p); }
+
+}  // extern "C"
