@@ -75,6 +75,13 @@ class AasistModel:
         # halves HBM traffic; callers cast params to match).  fp32 default.
         self.compute_dtype = jnp.dtype(model_config.get("dtype", "float32"))
 
+        # fused Pallas encoder for inference (aasist_tpu/ops/fused_resblock):
+        # one kernel per block, all intermediates in VMEM.  Only applies to
+        # the original residual encoder in eval mode; training and the
+        # Res2Net encoder use the XLA path.
+        self.use_fused_encoder = bool(model_config.get(
+            "use_fused_encoder", False))
+
         # encoder channel plan: filts[1..4] as (in, out) pairs, last repeated
         self.block_channels = [tuple(self.filts[1]), tuple(self.filts[2]),
                                tuple(self.filts[3]), tuple(self.filts[4]),
@@ -160,19 +167,43 @@ class AasistModel:
             params["first_bn"], state["first_bn"], x, axis=1, train=train)
         x = jax.nn.selu(x)
 
-        enc_s = []
-        e = x
-        for i, bp in enumerate(params["encoder"]):
-            if self.encoder_type == "res2net":
-                e, bs = L.res2net_block_apply(
-                    bp, state["encoder"][i], e, first=(i == 0),
-                    width=self.res2net_width, scale=self.res2net_scale,
-                    train=train)
-            else:
-                e, bs = L.residual_block_apply(
-                    bp, state["encoder"][i], e, first=(i == 0), train=train)
-            enc_s.append(bs)
-        new_state["encoder"] = enc_s                      # e: (B, C, F, T)
+        if (self.use_fused_encoder and not train
+                and self.encoder_type == "residual"):
+            from aasist_tpu.ops import fused_resblock as FR
+            # encoder-major chain: one entry transpose, fused Pallas
+            # blocks while the time axis is long (the kernel's MXU dots
+            # need 128-aligned tiles; short late blocks are cheap on XLA)
+            e_em = FR.to_encoder_major(x)
+            i = 0
+            while (i < len(params["encoder"])
+                   and e_em.shape[-1] // 3 >= 256):
+                cin, cout = self.block_channels[i]
+                fp = FR.FusedBlockParams(
+                    params["encoder"][i], state["encoder"][i], cin, cout,
+                    dtype=self.compute_dtype)
+                e_em = FR.fused_residual_block_em(e_em, fp)
+                i += 1
+            e = FR.from_encoder_major(e_em)
+            for k in range(i, len(params["encoder"])):
+                e, _ = L.residual_block_apply(
+                    params["encoder"][k], state["encoder"][k], e,
+                    first=(k == 0), train=False)
+            new_state["encoder"] = state["encoder"]
+        else:
+            enc_s = []
+            e = x
+            for i, bp in enumerate(params["encoder"]):
+                if self.encoder_type == "res2net":
+                    e, bs = L.res2net_block_apply(
+                        bp, state["encoder"][i], e, first=(i == 0),
+                        width=self.res2net_width, scale=self.res2net_scale,
+                        train=train)
+                else:
+                    e, bs = L.residual_block_apply(
+                        bp, state["encoder"][i], e, first=(i == 0),
+                        train=train)
+                enc_s.append(bs)
+            new_state["encoder"] = enc_s                  # e: (B, C, F, T)
 
         t0, t1, t2 = self.temperatures[:3]
         r0, r1, r2 = self.pool_ratios[:3]

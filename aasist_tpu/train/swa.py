@@ -25,7 +25,10 @@ class SWAState:
 
     def update(self, params: Any) -> None:
         if self.avg is None:
-            self.avg = jax.tree_util.tree_map(jnp.asarray, params)
+            # explicit copy: the caller's train step donates its param
+            # buffers, so aliasing them here would leave the average
+            # pointing at deleted memory one step later
+            self.avg = jax.tree_util.tree_map(jnp.copy, params)
         else:
             n = self.n
             self.avg = jax.tree_util.tree_map(

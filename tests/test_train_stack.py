@@ -1,0 +1,205 @@
+"""Losses, schedules, SWA, checkpoints, and config-system tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aasist_tpu.config import ExperimentConfig, OptimConfig, load_config
+from aasist_tpu.train import losses as losses_mod
+from aasist_tpu.train import optim as optim_mod
+from aasist_tpu.train.swa import SWAState
+
+
+# ------------------------------------------------------------------ losses
+def test_weighted_cce_matches_torch_semantics():
+    """torch CrossEntropyLoss(weight=w) normalises by the summed sample
+    weights, not the batch size."""
+    logits = jnp.asarray([[2.0, -1.0], [0.5, 1.5], [0.0, 0.0]])
+    labels = jnp.asarray([0, 1, 1])
+    got = float(losses_mod.weighted_cce(logits, labels))
+    # manual computation
+    logp = np.log(np.exp(np.asarray(logits))
+                  / np.exp(np.asarray(logits)).sum(-1, keepdims=True))
+    w = np.asarray([0.1, 0.9])[np.asarray(labels)]
+    nll = -logp[np.arange(3), np.asarray(labels)]
+    expected = (w * nll).sum() / w.sum()
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_am_softmax_margin_reduces_target_logit():
+    logits = jnp.asarray([[4.0, 1.0]])
+    labels = jnp.asarray([0])
+    base = float(losses_mod.am_softmax(logits, labels, scale=1.0,
+                                       margin=0.0))
+    with_margin = float(losses_mod.am_softmax(logits, labels, scale=1.0,
+                                              margin=0.5))
+    assert with_margin > base  # margin makes the target harder
+
+
+def test_am_softmax_adaptive_margin_uses_duration():
+    logits = jnp.asarray([[4.0, 1.0], [4.0, 1.0]])
+    labels = jnp.asarray([0, 0])
+    dur = jnp.asarray([1.0, 6.0])
+    # ALMFT: m = a*dur + b -> longer utterance, larger margin, higher loss
+    l_short = float(losses_mod.am_softmax(
+        logits[:1], labels[:1], durations=dur[:1], scale=1.0))
+    l_long = float(losses_mod.am_softmax(
+        logits[1:], labels[1:], durations=dur[1:], scale=1.0))
+    assert l_long > l_short
+
+
+# --------------------------------------------------------------- schedules
+def _optim_cfg(**kw):
+    base = dict(optimizer="adam", base_lr=1e-4, lr_min=5e-6,
+                scheduler="cosine", epochs=10, steps_per_epoch=100)
+    base.update(kw)
+    return OptimConfig(**base)
+
+
+def test_cosine_schedule_endpoints():
+    cfg = _optim_cfg()
+    sched = optim_mod.make_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4, rel=1e-6)
+    assert float(sched(1000)) == pytest.approx(5e-6, rel=1e-3)
+    # matches the reference formula at an arbitrary step
+    ref = optim_mod.cosine_annealing(250, 1000, 1e-4, 5e-6)
+    assert float(sched(250)) == pytest.approx(ref, rel=1e-5)
+
+
+def test_keras_decay_schedule():
+    cfg = _optim_cfg(scheduler="keras_decay")
+    sched = optim_mod.make_schedule(cfg)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(10000)) == pytest.approx(1e-4 / 2.0)
+
+
+def test_multistep_schedule():
+    cfg = _optim_cfg(scheduler="multistep", milestones=(2, 5), lr_decay=0.1)
+    sched = optim_mod.make_schedule(cfg)
+    assert float(sched(100)) == pytest.approx(1e-4)
+    assert float(sched(300)) == pytest.approx(1e-5, rel=1e-4)
+    assert float(sched(600)) == pytest.approx(1e-6, rel=1e-4)
+
+
+def test_sgdr_restarts():
+    cfg = _optim_cfg(scheduler="sgdr", T0=2, Tmult=2)
+    sched = optim_mod.make_schedule(cfg)
+    lr_start = float(sched(0))
+    lr_end_cycle = float(sched(199))
+    lr_restart = float(sched(201))
+    assert lr_start == pytest.approx(1e-4, rel=1e-5)
+    assert lr_end_cycle < 1e-5
+    assert lr_restart > 0.9e-4  # warm restart jumps back up
+
+
+def test_optimizers_step():
+    import optax
+    for name in ("adam", "sgd"):
+        cfg = _optim_cfg(optimizer=name, momentum=0.9, nesterov=True)
+        opt = optim_mod.create_optimizer(cfg)
+        params = {"w": jnp.ones(4)}
+        opt_state = opt.init(params)
+        grads = {"w": jnp.full(4, 0.5)}
+        updates, _ = opt.update(grads, opt_state, params)
+        new = optax.apply_updates(params, updates)
+        assert not np.allclose(np.asarray(new["w"]), 1.0)
+
+
+# --------------------------------------------------------------------- SWA
+def test_swa_running_average():
+    swa = SWAState()
+    swa.update({"w": jnp.asarray(1.0)})
+    swa.update({"w": jnp.asarray(3.0)})
+    assert float(swa.avg["w"]) == pytest.approx(2.0)
+    swa.update({"w": jnp.asarray(5.0)})
+    assert float(swa.avg["w"]) == pytest.approx(3.0)
+
+
+# ------------------------------------------------------------- checkpoints
+def test_train_state_roundtrip(tmp_path):
+    import optax
+    from aasist_tpu.train import checkpoints as ck
+    params = {"lin": {"weight": jnp.arange(6.0).reshape(2, 3)}}
+    state = {"bn": {"mean": jnp.zeros(3), "var": jnp.ones(3)}}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    ckpt = ck.TrainCheckpoint(
+        params=params, model_state=state, opt_state=opt_state,
+        step=42, epoch=3, best_dev_eer=1.5, best_eval_eer=2.5,
+        best_eval_tdcf=0.07, n_swa=2, swa_avg=params)
+    ck.save_train_state(tmp_path / "st", ckpt)
+    loaded = ck.load_train_state(tmp_path / "st", opt.init(params))
+    assert loaded.step == 42 and loaded.epoch == 3
+    assert loaded.best_dev_eer == 1.5
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params["lin"]["weight"]),
+        np.asarray(params["lin"]["weight"]))
+    # optimizer state content preserved
+    for a, b in zip(jax.tree_util.tree_leaves(opt_state),
+                    jax.tree_util.tree_leaves(loaded.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert loaded.swa_avg is not None
+
+
+# ------------------------------------------------------------------ config
+def test_config_ingests_reference_format(tmp_path):
+    """String booleans, extras, dynamic_chunk — reference .conf quirks."""
+    conf = {
+        "database_path": "/data/LA/",
+        "asv_score_path": "asv.txt",
+        "model_path": "m.npz",
+        "batch_size": 24,
+        "num_epochs": 100,
+        "loss": "AM_Softmax",
+        "track": "LA",
+        "eval_all_best": "True",
+        "freq_aug": "True",
+        "eval_output": "scores.txt",
+        "cudnn_deterministic_toggle": "True",   # torch-only: -> extras
+        "cudnn_benchmark_toggle": "False",
+        "am_softmax_scale": 15.0,
+        "adaptive_margin": True,
+        "use_mixup": True,                       # dormant key -> extras
+        "dynamic_chunk": {"enabled": True, "min_samples": 16000,
+                          "max_samples": 96000},
+        "model_config": {"architecture": "AASIST", "first_conv": 128},
+        "optim_config": {"optimizer": "adam", "amsgrad": "False",
+                         "base_lr": 1e-4, "lr_min": 5e-6,
+                         "betas": [0.9, 0.999], "weight_decay": 1e-4,
+                         "scheduler": "cosine"},
+    }
+    p = tmp_path / "test.conf"
+    p.write_text(json.dumps(conf))
+    cfg = load_config(p)
+    assert cfg.eval_all_best is True and cfg.freq_aug is True
+    assert cfg.dynamic_chunk.enabled and cfg.dynamic_chunk.max_samples == 96000
+    assert cfg.optim_config.amsgrad is False
+    assert cfg.optim_config.betas == (0.9, 0.999)
+    assert cfg.extras["use_mixup"] is True
+    assert cfg.extras["cudnn_deterministic_toggle"] == "True"
+    assert cfg.architecture == "AASIST"
+    assert cfg.protocol_path("train").name == "ASVspoof2019.LA.cm.train.trn.txt"
+    assert "ASVspoof2019_LA_eval" in str(cfg.audio_dir("eval"))
+
+
+def test_repo_configs_load():
+    import glob
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.conf")))
+    assert len(paths) >= 6
+    from aasist_tpu.registry import build_model
+    for p in paths:
+        cfg = load_config(p)
+        model = build_model(cfg.model_config)
+        assert model is not None
+
+
+def test_invalid_track_rejected():
+    with pytest.raises(ValueError):
+        ExperimentConfig.from_dict({
+            "track": "XX", "model_config": {}, "optim_config": {}})
