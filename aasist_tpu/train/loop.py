@@ -76,20 +76,36 @@ def make_eval_step(model):
 
 # ------------------------------------------------------------- evaluation
 def produce_scores(model, params, model_state, batcher,
-                   eval_step=None) -> Tuple[list, list]:
+                   eval_step=None, pipeline_depth: int = 2
+                   ) -> Tuple[list, list]:
     """Run batched inference; returns (utt_ids, bonafide scores).
 
     Equivalent of produce_evaluation_file's loop (main.py:364-380); the
-    score is logits[:, 1].
+    score is logits[:, 1].  Dispatch is pipelined ``pipeline_depth`` deep:
+    jax dispatch is async, so fetching batch k's scores overlaps device
+    compute of batch k+1 (and host decode of k+2 via the batcher's own
+    prefetch) — this hides per-call dispatch latency, which is large on
+    tunneled backends.
     """
+    import collections
+
     if eval_step is None:
         eval_step = make_eval_step(model)
     ids, scores = [], []
-    for x, utts, n_real in batcher:
-        logits = eval_step(params, model_state, x)
+    pending = collections.deque()
+
+    def drain_one():
+        logits, utts = pending.popleft()
         s = np.asarray(logits[:, 1])
         ids.extend(utts)
         scores.extend(s[:len(utts)].tolist())
+
+    for x, utts, n_real in batcher:
+        pending.append((eval_step(params, model_state, x), utts))
+        if len(pending) > pipeline_depth:
+            drain_one()
+    while pending:
+        drain_one()
     return ids, scores
 
 

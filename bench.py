@@ -62,7 +62,10 @@ def main() -> int:
 
     # NB: the scalar reduction is the synchronisation point — on the
     # tunneled axon backend block_until_ready returns before execution
-    # finishes, so timing must be bounded by a host fetch.
+    # finishes, so timing must be bounded by a host fetch.  Dispatch is
+    # pipelined 2 deep, matching the eval driver (train/loop.py
+    # produce_scores): fetching call k overlaps device compute of k+1,
+    # hiding per-dispatch latency.
     def forward(p, s, x):
         (_, logits), _ = model.apply(p, s, x, train=False)
         return jnp.sum(logits.astype(jnp.float32))
@@ -82,10 +85,16 @@ def main() -> int:
             # compile + warmup (first compile can take minutes remotely)
             float(fwd(params, state, x))
             float(fwd(params, state, x))
-            n_iters = max(3, int(2048 / batch))
+            n_iters = max(4, int(4096 / batch))
+            import collections
+            pending = collections.deque()
             t0 = time.perf_counter()
             for _ in range(n_iters):
-                float(fwd(params, state, x))
+                pending.append(fwd(params, state, x))
+                if len(pending) > 2:
+                    float(pending.popleft())
+            while pending:
+                float(pending.popleft())
             dt = time.perf_counter() - t0
             value = batch * n_iters / dt
             batch_used = batch
