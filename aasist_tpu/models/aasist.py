@@ -175,7 +175,12 @@ class AasistModel:
             # need 128-aligned tiles; short late blocks are cheap on XLA)
             e_em = FR.to_encoder_major(x)
             i = 0
+            # fused wins where the block is HBM-bound (C_in=1 block0 with
+            # its 8 GB/batch-256 of unfused intermediates); deeper blocks
+            # are MXU-bound at the same K,N as XLA's own conv — parity at
+            # best — so they stay on the XLA path (docs/PERF.md)
             while (i < len(params["encoder"])
+                   and self.block_channels[i][0] == 1
                    and e_em.shape[-1] // 3 >= 256):
                 cin, cout = self.block_channels[i]
                 fp = FR.FusedBlockParams(

@@ -133,24 +133,30 @@ def _kernel(x_hbm, w1, sb1, w2, b2, wd, bd, out_ref,
                 piece = xph(q - 4 + dt, df, df + f1, u_y)
                 contrib = tap_dot(w1[df, dt], piece)
                 acc = contrib if acc is None else acc + contrib
-        acc = _selu(acc + sb1[...].astype(acc_dtype))
+        # epilogue in bf16: the dot accumulates in f32; shift+selu+mask
+        # are bandwidth-bound VPU passes, so halve their bytes
+        acc = (acc + sb1[...].astype(acc_dtype)).astype(xs0.dtype)
+        acc = _selu(acc)
         # zero columns outside the true sequence (conv2 zero-pad semantics)
         col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, u_y), 3)
         gidx = 3 * (j * u + col) + q - 3
-        acc = jnp.where((gidx >= 0) & (gidx < t_global), acc, 0.0)
-        y1ph.append(acc.astype(xs0.dtype))
+        acc = jnp.where((gidx >= 0) & (gidx < t_global), acc,
+                        jnp.zeros((), xs0.dtype))
+        y1ph.append(acc)
 
     # ---- conv2 + identity + pool, three phases -----------------------
+    # taps stacked into one K=6*C_out contraction: at K=N=C the MXU runs
+    # at (K/128)(N/128) of peak, so packing 6 taps into K is ~4x the
+    # arithmetic rate at the cost of 6 bf16 VMEM copies (the concat)
+    w2all = jnp.concatenate([w2[df, dt] for df, dt in taps6], axis=0)
     pooled = None
     for p in range(3):
-        acc = None
-        for df, dt in taps6:
-            e = p + 2 + dt              # = (p - 1 + dt) + 3
-            q = e % 3
-            o = (e - q) // 3
-            piece = y1ph[q][:, :, df:df + f_in, o:o + u]
-            contrib = tap_dot(w2[df, dt], piece)
-            acc = contrib if acc is None else acc + contrib
+        patches = jnp.concatenate(
+            [y1ph[(p + 2 + dt) % 3][:, :, df:df + f_in,
+                                    (p + 2 + dt - (p + 2 + dt) % 3) // 3:
+                                    (p + 2 + dt - (p + 2 + dt) % 3) // 3 + u]
+             for df, dt in taps6], axis=0)
+        acc = tap_dot(w2all, patches)
         acc = acc + b2[...].astype(acc_dtype)
 
         if has_down:

@@ -1,0 +1,113 @@
+"""Batched inference serving API.
+
+The reference has no serving layer (SURVEY.md §1: "no serving layer, no
+RPC").  This module provides the production-facing entry point this
+framework is deployed behind: a warm, fixed-shape, jitted scorer with
+padding/masking for ragged batches and windowed scoring for long audio.
+
+Usage::
+
+    scorer = Scorer.from_config("configs/AASIST.conf")   # loads weights
+    scores = scorer.score_waveforms([wav1, wav2, ...])   # bonafide scores
+    label = "bonafide" if scores[0] > threshold else "spoof"
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from aasist_tpu.data.dataset import FIXED_EVAL_LEN, pad_to_fixed
+
+
+class Scorer:
+    """Warm batched scorer around a model + weights.
+
+    One jit specialization (fixed batch x fixed window); ragged inputs are
+    padded by row repetition and masked out.  ``bf16=True`` runs the conv
+    trunk in bfloat16 (the TPU deployment default; EER-neutral, see
+    docs/PERF.md).
+    """
+
+    def __init__(self, model, params, model_state, *, batch_size: int = 64,
+                 window: int = FIXED_EVAL_LEN, bf16: bool = True,
+                 use_fused_encoder: Optional[bool] = None):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.window = window
+        self.model = model
+        if bf16:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+            params, model_state = cast(params), cast(model_state)
+            model.compute_dtype = jnp.dtype(jnp.bfloat16)
+        if use_fused_encoder is not None and hasattr(
+                model, "use_fused_encoder"):
+            model.use_fused_encoder = use_fused_encoder
+        self._params = params
+        self._state = model_state
+
+        def fwd(p, s, x):
+            (_, logits), _ = model.apply(p, s, x, train=False)
+            return logits[:, 1].astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+
+    @classmethod
+    def from_config(cls, config_path, weights_path=None, **kwargs
+                    ) -> "Scorer":
+        from aasist_tpu.config import load_config
+        from aasist_tpu.registry import build_model
+        from aasist_tpu.cli import load_model_weights
+
+        cfg = load_config(config_path)
+        model = build_model(cfg.model_config)
+        params, state = load_model_weights(
+            model, weights_path or cfg.model_path)
+        return cls(model, params, state, **kwargs)
+
+    def warmup(self) -> None:
+        x = np.zeros((self.batch_size, self.window), np.float32)
+        np.asarray(self._fwd(self._params, self._state, x))
+
+    def score_batch(self, batch: np.ndarray) -> np.ndarray:
+        """Score (n, window) waveforms, n <= batch_size."""
+        n = batch.shape[0]
+        if batch.shape[1] != self.window:
+            raise ValueError(
+                f"expected window {self.window}, got {batch.shape[1]}")
+        if n < self.batch_size:
+            batch = np.concatenate(
+                [batch, np.tile(batch[-1:], (self.batch_size - n, 1))])
+        out = np.asarray(self._fwd(self._params, self._state,
+                                   batch.astype(np.float32)))
+        return out[:n]
+
+    def score_waveforms(self, waveforms: Sequence[np.ndarray],
+                        long_audio: bool = False,
+                        aggregate: str = "mean") -> List[float]:
+        """Score variable-length waveforms.
+
+        Default: reference eval semantics (crop-or-tile to the window —
+        data_utils.py:45).  ``long_audio=True`` scores strided windows and
+        aggregates, covering audio beyond the window instead of cropping.
+        """
+        if long_audio:
+            from aasist_tpu.ops.long_audio import score_long_audio
+            return score_long_audio(
+                waveforms,
+                lambda b: self._fwd(self._params, self._state, b),
+                window=self.window, batch_size=self.batch_size,
+                aggregate=aggregate)
+        scores: List[float] = []
+        for i in range(0, len(waveforms), self.batch_size):
+            chunk = waveforms[i:i + self.batch_size]
+            rows = np.stack([pad_to_fixed(np.asarray(w), self.window)
+                             for w in chunk]).astype(np.float32)
+            scores.extend(self.score_batch(rows).tolist())
+        return scores

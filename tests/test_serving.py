@@ -1,0 +1,65 @@
+"""Serving API tests (tiny model, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from aasist_tpu.registry import build_model
+from aasist_tpu.serving import Scorer
+
+TINY = {
+    "architecture": "AASIST", "first_conv": 128,
+    "filts": [70, [1, 4], [4, 4], [4, 8], [8, 8]],
+    "gat_dims": [8, 12], "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+    "temperatures": [2.0, 2.0, 100.0, 100.0],
+}
+
+
+@pytest.fixture(scope="module")
+def scorer():
+    model = build_model(TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    s = Scorer(model, params, state, batch_size=4, window=16000, bf16=False)
+    s.warmup()
+    return s
+
+
+def test_score_waveforms_ragged(scorer):
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(n) * 0.05 for n in (9000, 16000, 30000,
+                                                    12000, 20000)]
+    scores = scorer.score_waveforms(wavs)
+    assert len(scores) == 5
+    assert all(np.isfinite(scores))
+
+
+def test_score_deterministic(scorer):
+    rng = np.random.default_rng(1)
+    wavs = [rng.standard_normal(16000) * 0.05]
+    a = scorer.score_waveforms(wavs)
+    b = scorer.score_waveforms(wavs)
+    assert a == b
+
+
+def test_padding_matches_reference_eval_semantics(scorer):
+    """Short audio is crop-or-tiled exactly like data_utils.pad."""
+    rng = np.random.default_rng(2)
+    short = rng.standard_normal(9000).astype(np.float64) * 0.05
+    reps = 16000 // 9000 + 1
+    tiled = np.tile(short, reps)[:16000]
+    s1 = scorer.score_waveforms([short])
+    s2 = scorer.score_waveforms([tiled])
+    assert s1[0] == pytest.approx(s2[0], abs=1e-6)
+
+
+def test_long_audio_mode(scorer):
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(50000) * 0.05]
+    scores = scorer.score_waveforms(wavs, long_audio=True)
+    assert len(scores) == 1 and np.isfinite(scores[0])
+
+
+def test_batch_window_validation(scorer):
+    with pytest.raises(ValueError):
+        scorer.score_batch(np.zeros((2, 123), np.float32))
