@@ -9,9 +9,11 @@ Differences from the reference, by design (SURVEY.md §7 "fork drift"):
     slices (``main.py:289,318,333``); it is off by default.
   * string booleans ("True"/"False") are accepted everywhere the reference
     used them (``utils.py:15-33``) but plain JSON booleans work too.
-  * dormant reference keys (mixup / label smoothing / adversarial training,
-    ``config/AASIST-Robust.conf``) are parsed into ``extras`` so configs load
-    without loss, and are implemented by the trainer where noted.
+  * the reference's DORMANT keys (mixup / label smoothing / adversarial
+    training in its AASIST-Robust config — shipped but never wired to any
+    code, SURVEY.md §5) are parsed into ``extras`` AND actually
+    implemented here: see train/losses.py (label_smoothing) and
+    train/loop.py RobustOptions (mixup, PGD adversarial training).
 """
 
 from __future__ import annotations

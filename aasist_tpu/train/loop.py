@@ -41,20 +41,99 @@ from aasist_tpu.utils.logging import MetricsLogger
 
 
 # ------------------------------------------------------------------ steps
+@dataclasses.dataclass(frozen=True)
+class RobustOptions:
+    """Robust-training options.
+
+    These correspond to config keys the reference *ships* in
+    AASIST-Robust.conf but never implements (SURVEY.md §5 "dormant" keys:
+    use_mixup / mixup_alpha / label_smoothing / adv_training /
+    adv_epsilon / adv_alpha / adv_steps / adv_ratio).  Here they are real:
+    waveform mixup, and PGD adversarial training on the input waveform
+    mixed into the loss at ``adv_ratio``.
+    """
+
+    use_mixup: bool = False
+    mixup_alpha: float = 0.3
+    adv_training: bool = False
+    adv_epsilon: float = 0.02
+    adv_alpha: float = 0.01
+    adv_steps: int = 3
+    adv_ratio: float = 0.5
+
+    @classmethod
+    def from_config(cls, cfg) -> "RobustOptions":
+        ex = getattr(cfg, "extras", {}) or {}
+        def b(v):
+            return str(v).lower() in ("1", "true", "yes", "on", "t", "y")
+        return cls(
+            use_mixup=b(ex.get("use_mixup", False)),
+            mixup_alpha=float(ex.get("mixup_alpha", 0.3)),
+            adv_training=b(ex.get("adv_training", False)),
+            adv_epsilon=float(ex.get("adv_epsilon", 0.02)),
+            adv_alpha=float(ex.get("adv_alpha", 0.01)),
+            adv_steps=int(ex.get("adv_steps", 3)),
+            adv_ratio=float(ex.get("adv_ratio", 0.5)))
+
+
 def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
-                    use_duration: bool):
+                    use_duration: bool,
+                    robust: Optional["RobustOptions"] = None):
     """Build the fused jitted train step.
 
     Distinct input lengths (DCS buckets) trigger one compilation each —
     bounded by ``dynamic_chunk.num_buckets`` (static-shape rule).
     """
+    robust = robust or RobustOptions()
 
     def step(params, model_state, opt_state, x, y, dur, rng):
-        def loss_of(p):
+        rng, mix_rng, adv_rng = jax.random.split(rng, 3)
+
+        if robust.use_mixup:
+            # waveform mixup: x' = lam*x + (1-lam)*x[perm], loss mixed the
+            # same way over both label sets
+            lam = jax.random.beta(mix_rng, robust.mixup_alpha,
+                                  robust.mixup_alpha)
+            perm = jax.random.permutation(mix_rng, x.shape[0])
+            x_in = lam * x + (1 - lam) * x[perm]
+            y2 = y[perm]
+            dur2 = dur[perm] if dur is not None else None
+        else:
+            x_in, y2, dur2, lam = x, y, dur, 1.0
+
+        def batch_loss(p, xb, step_rng):
             (_, logits), new_ms = model.apply(
-                p, model_state, x, train=True, rng=rng, freq_aug=freq_aug)
-            loss = loss_fn(logits, y, dur if use_duration else None)
+                p, model_state, xb, train=True, rng=step_rng,
+                freq_aug=freq_aug)
+            d = dur if use_duration else None
+            d2 = dur2 if use_duration else None
+            loss = loss_fn(logits, y, d)
+            if robust.use_mixup:
+                loss = lam * loss + (1 - lam) * loss_fn(logits, y2, d2)
             return loss, (logits, new_ms)
+
+        if robust.adv_training:
+            # PGD on the input waveform under the current parameters
+            def input_loss(xb, step_rng):
+                return batch_loss(params, xb, step_rng)[0]
+
+            def pgd_step(i, x_adv):
+                g = jax.grad(input_loss)(x_adv, adv_rng)
+                x_adv = x_adv + robust.adv_alpha * jnp.sign(g)
+                return x_in + jnp.clip(x_adv - x_in,
+                                       -robust.adv_epsilon,
+                                       robust.adv_epsilon)
+            x_adv = jax.lax.fori_loop(0, robust.adv_steps, pgd_step, x_in)
+            x_adv = jax.lax.stop_gradient(x_adv)
+
+            def loss_of(p):
+                clean, aux = batch_loss(p, x_in, rng)
+                adv, _ = batch_loss(p, x_adv, adv_rng)
+                return ((1 - robust.adv_ratio) * clean
+                        + robust.adv_ratio * adv), aux
+        else:
+            def loss_of(p):
+                return batch_loss(p, x_in, rng)
 
         (loss, (logits, new_ms)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
@@ -179,7 +258,8 @@ def run_training(
 
     train_step = make_train_step(model, loss_fn, optimizer,
                                  freq_aug=cfg.freq_aug,
-                                 use_duration=use_duration)
+                                 use_duration=use_duration,
+                                 robust=RobustOptions.from_config(cfg))
     eval_step = make_eval_step(model)
     rng = jax.random.PRNGKey(seed + 1)
 

@@ -22,12 +22,20 @@ CCE_CLASS_WEIGHTS = (0.1, 0.9)  # (spoof, bonafide) — main.py:419
 
 def weighted_cce(logits: jnp.ndarray, labels: jnp.ndarray,
                  weights=CCE_CLASS_WEIGHTS,
-                 sample_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 sample_mask: Optional[jnp.ndarray] = None,
+                 label_smoothing: float = 0.0) -> jnp.ndarray:
     """Class-weighted cross entropy, torch ``CrossEntropyLoss(weight=w)``
     semantics: mean over samples is weighted by the per-sample class weight
-    (sum(w_i * nll_i) / sum(w_i))."""
+    (sum(w_i * nll_i) / sum(w_i)).  ``label_smoothing`` follows torch's
+    definition (target = (1-s)*onehot + s/K)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing > 0.0:
+        k = logits.shape[-1]
+        onehot = jax.nn.one_hot(labels, k, dtype=logits.dtype)
+        target = (1.0 - label_smoothing) * onehot + label_smoothing / k
+        nll = -jnp.sum(target * logp, axis=-1)
+    else:
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
     w = jnp.asarray(weights)[labels]
     if sample_mask is not None:
         w = w * sample_mask
@@ -62,9 +70,12 @@ def am_softmax(logits: jnp.ndarray, labels: jnp.ndarray, *,
 
 def make_loss_fn(loss_name: str, cfg):
     """Build the configured loss closure from an ExperimentConfig."""
+    smoothing = float(cfg.extras.get("label_smoothing", 0.0)) \
+        if hasattr(cfg, "extras") else 0.0
     if loss_name == "CCE":
         def fn(logits, labels, durations=None, mask=None):
-            return weighted_cce(logits, labels, sample_mask=mask)
+            return weighted_cce(logits, labels, sample_mask=mask,
+                                label_smoothing=smoothing)
         return fn, False
     if loss_name == "AM_Softmax":
         adaptive = bool(cfg.adaptive_margin)
