@@ -105,11 +105,17 @@ class AudioStore:
         self._flac = self.base_dir / "flac"
 
     def read(self, utt_id: str) -> np.ndarray:
-        for ext in (".flac", ".wav"):
-            p = self._flac / f"{utt_id}{ext}"
-            if p.exists():
-                data, _sr = audio_io.read_audio(p)
-                return np.asarray(data)
+        p = self._flac / f"{utt_id}.flac"
+        if p.exists():
+            # hot path: single-pass native decode to float32 (exact for
+            # <=24-bit PCM; the pipeline is float32 downstream anyway)
+            from aasist_tpu.data.flac_native import read_flac_f32
+            data, _sr = read_flac_f32(p)
+            return np.asarray(data)
+        p = self._flac / f"{utt_id}.wav"
+        if p.exists():
+            data, _sr = audio_io.read_audio(p)
+            return np.asarray(data)
         raise FileNotFoundError(
             f"no audio for {utt_id!r} under {self._flac}")
 

@@ -67,6 +67,27 @@ def _get_lib():
                 ctypes.c_char_p, ctypes.c_int64,
             ]
             lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+            lib.flac_decode_file_f32.restype = ctypes.c_int
+            lib.flac_decode_file_f32.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.flac_decode_buffer_f32.restype = ctypes.c_int
+            lib.flac_decode_buffer_f32.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.flac_free_f32.argtypes = [ctypes.POINTER(ctypes.c_float)]
             _lib = lib
     return _lib
 
@@ -116,3 +137,34 @@ def read_flac_bytes(data: bytes) -> Tuple[np.ndarray, int]:
         ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(bps),
         err, len(err))
     return _finish(lib, rc, err, samples_p, n_frames, sr, channels, bps)
+
+
+def read_flac_f32(path) -> Tuple[np.ndarray, int]:
+    """Decode to float32 in one native pass (the data-loader hot path).
+
+    For <=24-bit PCM the int->float32 conversion is exact, so results are
+    bit-identical to the float64 path after the pipeline's eventual
+    float32 cast — this just skips the intermediate copies (~25% of
+    per-file decode cost).
+    """
+    lib = _get_lib()
+    samples_p = ctypes.POINTER(ctypes.c_float)()
+    n_frames = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    bps = ctypes.c_int32()
+    err = ctypes.create_string_buffer(128)
+    rc = lib.flac_decode_file_f32(
+        str(path).encode(), ctypes.byref(samples_p), ctypes.byref(n_frames),
+        ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(bps),
+        err, len(err))
+    if rc != 0:
+        raise FlacDecodeError(err.value.decode() or f"decode error {rc}")
+    n = n_frames.value * channels.value
+    try:
+        x = np.ctypeslib.as_array(samples_p, shape=(n,)).copy()
+    finally:
+        lib.flac_free_f32(samples_p)
+    if channels.value > 1:
+        x = x.reshape(-1, channels.value)
+    return x, sr.value

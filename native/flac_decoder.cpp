@@ -26,103 +26,121 @@
 namespace {
 
 struct BitReader {
+  // Buffered MSB-first reader: up to 64 bits cached in the low `n` bits
+  // of `acc`.  read_unary counts zeros with CLZ instead of per-bit loops
+  // (the per-bit reader decoded ~200 files/s/core; this one is ~5-10x).
   const uint8_t* data;
   size_t size;
-  size_t byte_pos = 0;
-  int bit_pos = 0;  // 0..7, MSB first
+  size_t load_pos = 0;   // next byte to load into acc
+  uint64_t acc = 0;
+  int n = 0;             // valid low bits in acc
   bool error = false;
 
-  BitReader(const uint8_t* d, size_t n) : data(d), size(n) {}
+  BitReader(const uint8_t* d, size_t sz) : data(d), size(sz) {}
 
-  inline bool aligned() const { return bit_pos == 0; }
+  inline void fill() {
+    while (n <= 56 && load_pos < size) {
+      acc = (acc << 8) | data[load_pos++];
+      n += 8;
+    }
+  }
+
+  // bit position of the next unread bit
+  inline size_t bit_offset() const { return load_pos * 8 - (size_t)n; }
+  inline size_t byte_position() const { return bit_offset() >> 3; }
+  inline bool aligned() const { return (bit_offset() & 7) == 0; }
 
   inline void align() {
-    if (bit_pos) {
-      bit_pos = 0;
-      byte_pos++;
+    int rem = (int)(bit_offset() & 7);
+    if (rem) {
+      n -= 8 - rem;
+      if (n < 0) { error = true; n = 0; acc = 0; return; }
+      acc &= (n == 64) ? ~0ull : ((1ull << n) - 1);
     }
   }
 
-  inline uint32_t read_bit() {
-    if (byte_pos >= size) {
-      error = true;
-      return 0;
-    }
-    uint32_t b = (data[byte_pos] >> (7 - bit_pos)) & 1u;
-    if (++bit_pos == 8) {
-      bit_pos = 0;
-      byte_pos++;
-    }
-    return b;
-  }
-
-  // n <= 32
-  inline uint32_t read_bits(int n) {
-    uint32_t v = 0;
-    while (n > 0) {
-      if (byte_pos >= size) {
+  inline uint32_t read_bits(int k) {  // k <= 32
+    if (k == 0) return 0;
+    if (n < k) {
+      fill();
+      if (n < k) {
         error = true;
-        return v;
+        // consume what's left, return zero-padded garbage
+        acc = 0;
+        n = 0;
+        return 0;
       }
-      int avail = 8 - bit_pos;
-      int take = n < avail ? n : avail;
-      uint32_t chunk =
-          (data[byte_pos] >> (avail - take)) & ((1u << take) - 1u);
-      v = (v << take) | chunk;
-      bit_pos += take;
-      if (bit_pos == 8) {
-        bit_pos = 0;
-        byte_pos++;
-      }
-      n -= take;
     }
+    uint32_t v = (uint32_t)(acc >> (n - k));
+    n -= k;
+    acc &= (n == 64) ? ~0ull : ((1ull << n) - 1);
     return v;
   }
 
-  inline uint64_t read_bits64(int n) {
-    uint64_t v = 0;
-    if (n > 32) {
-      v = read_bits(n - 32);
-      v = (v << 32) | read_bits(32);
-    } else {
-      v = read_bits(n);
-    }
-    return v;
-  }
+  inline uint32_t read_bit() { return read_bits(1); }
 
-  inline int32_t read_signed(int n) {
-    if (n == 0) return 0;
-    uint32_t v = read_bits(n);
-    // sign-extend
-    uint32_t m = 1u << (n - 1);
+  inline int32_t read_signed(int k) {
+    if (k == 0) return 0;
+    uint32_t v = read_bits(k);
+    uint32_t m = 1u << (k - 1);
     return (int32_t)((v ^ m) - m);
   }
 
   inline uint32_t read_unary() {
     uint32_t q = 0;
-    while (!error && read_bit() == 0) q++;
-    return q;
+    for (;;) {
+      if (n == 0) {
+        fill();
+        if (n == 0) {
+          error = true;
+          return q;
+        }
+      }
+      if (acc == 0) {  // whole window is zeros
+        q += (uint32_t)n;
+        n = 0;
+        continue;
+      }
+      int top = 63 - __builtin_clzll(acc);  // highest set bit
+      q += (uint32_t)(n - 1 - top);
+      n = top;  // consume the zeros and the terminating 1
+      acc &= (n == 64) ? ~0ull : ((1ull << n) - 1);
+      return q;
+    }
   }
 };
 
+// table-driven CRCs: the bit-at-a-time versions cost ~1 ms per 4 s frame
+// stream, a third of total decode time
+struct CrcTables {
+  uint8_t t8[256];
+  uint16_t t16[256];
+  CrcTables() {
+    for (int i = 0; i < 256; i++) {
+      uint8_t c8 = (uint8_t)i;
+      for (int k = 0; k < 8; k++)
+        c8 = (c8 & 0x80) ? (uint8_t)((c8 << 1) ^ 0x07) : (uint8_t)(c8 << 1);
+      t8[i] = c8;
+      uint16_t c16 = (uint16_t)(i << 8);
+      for (int k = 0; k < 8; k++)
+        c16 = (c16 & 0x8000) ? (uint16_t)((c16 << 1) ^ 0x8005)
+                             : (uint16_t)(c16 << 1);
+      t16[i] = c16;
+    }
+  }
+};
+static const CrcTables kCrc;
+
 uint8_t crc8(const uint8_t* d, size_t n) {
   uint8_t crc = 0;
-  for (size_t i = 0; i < n; i++) {
-    crc ^= d[i];
-    for (int k = 0; k < 8; k++)
-      crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
-  }
+  for (size_t i = 0; i < n; i++) crc = kCrc.t8[crc ^ d[i]];
   return crc;
 }
 
 uint16_t crc16(const uint8_t* d, size_t n) {
   uint16_t crc = 0;
-  for (size_t i = 0; i < n; i++) {
-    crc ^= (uint16_t)d[i] << 8;
-    for (int k = 0; k < 8; k++)
-      crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
-                           : (uint16_t)(crc << 1);
-  }
+  for (size_t i = 0; i < n; i++)
+    crc = (uint16_t)((crc << 8) ^ kCrc.t16[(crc >> 8) ^ d[i]]);
   return crc;
 }
 
@@ -247,34 +265,33 @@ void fail(DecodeResult& r, const char* msg) {
 
 DecodeResult decode(const uint8_t* data, size_t size) {
   DecodeResult res;
-  BitReader br(data, size);
   if (size < 42 || memcmp(data, "fLaC", 4) != 0) {
     fail(res, "not a FLAC stream");
     return res;
   }
-  br.byte_pos = 4;
+  size_t cursor = 4;
 
   // metadata blocks
   bool last = false;
   bool have_streaminfo = false;
   while (!last) {
-    if (br.byte_pos + 4 > size) {
+    if (cursor + 4 > size) {
       fail(res, "truncated metadata");
       return res;
     }
-    uint8_t hdr = data[br.byte_pos];
+    uint8_t hdr = data[cursor];
     last = hdr & 0x80;
     uint8_t btype = hdr & 0x7F;
-    uint32_t blen = ((uint32_t)data[br.byte_pos + 1] << 16) |
-                    ((uint32_t)data[br.byte_pos + 2] << 8) |
-                    (uint32_t)data[br.byte_pos + 3];
-    br.byte_pos += 4;
+    uint32_t blen = ((uint32_t)data[cursor + 1] << 16) |
+                    ((uint32_t)data[cursor + 2] << 8) |
+                    (uint32_t)data[cursor + 3];
+    cursor += 4;
     if (btype == 0) {  // STREAMINFO
-      if (blen < 34 || br.byte_pos + 34 > size) {
+      if (blen < 34 || cursor + 34 > size) {
         fail(res, "bad STREAMINFO");
         return res;
       }
-      const uint8_t* p = data + br.byte_pos;
+      const uint8_t* p = data + cursor;
       res.info.sample_rate = ((uint32_t)p[10] << 12) |
                              ((uint32_t)p[11] << 4) | (p[12] >> 4);
       res.info.channels = ((p[12] >> 1) & 0x7) + 1;
@@ -285,8 +302,8 @@ DecodeResult decode(const uint8_t* data, size_t size) {
                                ((uint64_t)p[16] << 8) | (uint64_t)p[17];
       have_streaminfo = true;
     }
-    br.byte_pos += blen;
-    if (br.byte_pos > size) {
+    cursor += blen;
+    if (cursor > size) {
       fail(res, "truncated metadata block");
       return res;
     }
@@ -305,9 +322,12 @@ DecodeResult decode(const uint8_t* data, size_t size) {
 
   std::vector<std::vector<int32_t>> chans(si.channels);
 
+  BitReader br(data, size);
+  br.load_pos = cursor;  // frames start after the metadata blocks
+
   // frames
-  while (br.byte_pos < size) {
-    size_t frame_start = br.byte_pos;
+  while (br.byte_position() < size) {
+    size_t frame_start = br.byte_position();
     // sync code 0b11111111111110
     uint32_t sync = br.read_bits(14);
     if (br.error) break;  // clean EOF
@@ -403,7 +423,7 @@ DecodeResult decode(const uint8_t* data, size_t size) {
     // header CRC-8 (covers sync..crc byte exclusive)
     br.align();
     {
-      size_t hdr_len = br.byte_pos - frame_start;
+      size_t hdr_len = br.byte_position() - frame_start;
       uint8_t expect = (uint8_t)br.read_bits(8);
       if (crc8(data + frame_start, hdr_len) != expect) {
         fail(res, "frame header CRC mismatch");
@@ -439,7 +459,7 @@ DecodeResult decode(const uint8_t* data, size_t size) {
     }
     br.align();
     {
-      size_t body_len = br.byte_pos - frame_start;
+      size_t body_len = br.byte_position() - frame_start;
       uint16_t expect = (uint16_t)br.read_bits(16);
       if (crc16(data + frame_start, body_len) != expect) {
         fail(res, "frame CRC-16 mismatch");
@@ -464,9 +484,14 @@ DecodeResult decode(const uint8_t* data, size_t size) {
       }
     }
 
-    for (int i = 0; i < block_size; i++)
-      for (uint32_t c = 0; c < si.channels; c++)
-        res.samples.push_back(chans[c][i]);
+    if (si.channels == 1) {
+      res.samples.insert(res.samples.end(), chans[0].begin(),
+                         chans[0].begin() + block_size);
+    } else {
+      for (int i = 0; i < block_size; i++)
+        for (uint32_t c = 0; c < si.channels; c++)
+          res.samples.push_back(chans[c][i]);
+    }
 
     if (si.total_samples &&
         res.samples.size() >= si.total_samples * si.channels)
@@ -535,5 +560,59 @@ int flac_decode_file(const char* path, int32_t** out_samples,
 }
 
 void flac_free(int32_t* p) { free(p); }
+
+// Decode straight to float32 in [-1, 1) (value / 2^(bps-1)), single pass —
+// saves the int32 copy + float64 conversion on the Python side.
+int flac_decode_buffer_f32(const uint8_t* data, int64_t size,
+                           float** out_samples, int64_t* out_n_frames,
+                           int32_t* out_sample_rate, int32_t* out_channels,
+                           int32_t* out_bps, char* err, int64_t err_len) {
+  DecodeResult r = decode(data, (size_t)size);
+  if (!r.ok) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
+    return 1;
+  }
+  size_t n = r.samples.size();
+  float* buf = (float*)malloc(n * sizeof(float));
+  if (!buf) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
+    return 2;
+  }
+  const float scale = 1.0f / (float)(1u << (r.info.bps - 1));
+  for (size_t i = 0; i < n; i++) buf[i] = (float)r.samples[i] * scale;
+  *out_samples = buf;
+  *out_n_frames = (int64_t)(n / r.info.channels);
+  *out_sample_rate = (int32_t)r.info.sample_rate;
+  *out_channels = (int32_t)r.info.channels;
+  *out_bps = (int32_t)r.info.bps;
+  return 0;
+}
+
+int flac_decode_file_f32(const char* path, float** out_samples,
+                         int64_t* out_n_frames, int32_t* out_sample_rate,
+                         int32_t* out_channels, int32_t* out_bps, char* err,
+                         int64_t err_len) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    if (err && err_len > 0)
+      snprintf(err, (size_t)err_len, "cannot open %s", path);
+    return 3;
+  }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  size_t rd = fread(buf.data(), 1, (size_t)sz, f);
+  fclose(f);
+  if (rd != (size_t)sz) {
+    if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
+    return 4;
+  }
+  return flac_decode_buffer_f32(buf.data(), sz, out_samples, out_n_frames,
+                                out_sample_rate, out_channels, out_bps,
+                                err, err_len);
+}
+
+void flac_free_f32(float* p) { free(p); }
 
 }  // extern "C"
