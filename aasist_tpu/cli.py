@@ -52,10 +52,15 @@ def build_loaders(cfg, seed: int, mesh=None):
     buckets = (D.bucket_lengths(dcs.min_samples, dcs.max_samples,
                                 dcs.num_buckets) if dcs.enabled else None)
 
+    # fixed train window: the fork trains on 6 s (96,000 samples,
+    # data_utils.py:128); the original AASIST used the 64,600 eval window.
+    # Overridable via the "train_fixed_length" config key.
+    fixed_len = int(cfg.extras.get("train_fixed_length",
+                                   D.FIXED_TRAIN_LEN))
     train = D.TrainBatcher(
         D.AudioStore(cfg.audio_dir("train")), train_files, labels,
         batch_size=cfg.batch_size, seed=seed, dcs_buckets=buckets,
-        sharding=sharding)
+        fixed_len=fixed_len, sharding=sharding)
     dev = D.EvalBatcher(
         D.AudioStore(cfg.audio_dir("dev")), dev_files,
         batch_size=cfg.batch_size, sharding=sharding)
