@@ -29,6 +29,7 @@ Forward dataflow (verified shapes for AASIST.conf, B x 64600 input):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -81,6 +82,13 @@ class AasistModel:
         # Res2Net encoder use the XLA path.
         self.use_fused_encoder = bool(model_config.get(
             "use_fused_encoder", False))
+
+        # rematerialize encoder blocks in the backward pass
+        # (jax.checkpoint): the early blocks' activations are
+        # (B, 32, 24, ~21k) — recomputing them costs ~1/3 extra encoder
+        # FLOPs but shrinks the live set and the gradient graph enough
+        # that full-length training fits/compiles at real batch sizes.
+        self.remat = bool(model_config.get("remat", True))
 
         # encoder channel plan: filts[1..4] as (in, out) pairs, last repeated
         self.block_channels = [tuple(self.filts[1]), tuple(self.filts[2]),
@@ -199,14 +207,16 @@ class AasistModel:
             e = x
             for i, bp in enumerate(params["encoder"]):
                 if self.encoder_type == "res2net":
-                    e, bs = L.res2net_block_apply(
-                        bp, state["encoder"][i], e, first=(i == 0),
+                    block = functools.partial(
+                        L.res2net_block_apply, first=(i == 0),
                         width=self.res2net_width, scale=self.res2net_scale,
                         train=train)
                 else:
-                    e, bs = L.residual_block_apply(
-                        bp, state["encoder"][i], e, first=(i == 0),
-                        train=train)
+                    block = functools.partial(
+                        L.residual_block_apply, first=(i == 0), train=train)
+                if train and self.remat:
+                    block = jax.checkpoint(block, static_argnums=())
+                e, bs = block(bp, state["encoder"][i], e)
                 enc_s.append(bs)
             new_state["encoder"] = enc_s                  # e: (B, C, F, T)
 
