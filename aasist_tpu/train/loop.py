@@ -78,15 +78,74 @@ class RobustOptions:
 
 def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
                     use_duration: bool,
-                    robust: Optional["RobustOptions"] = None):
+                    robust: Optional["RobustOptions"] = None,
+                    grad_accum_steps: int = 1):
     """Build the fused jitted train step.
 
     Distinct input lengths (DCS buckets) trigger one compilation each —
     bounded by ``dynamic_chunk.num_buckets`` (static-shape rule).
+
+    ``grad_accum_steps`` > 1 splits the batch into microbatches scanned
+    sequentially, averaging gradients before one optimizer update: same
+    effective batch with a ~1/k-sized compute graph (full-length AASIST
+    at batch 24 exceeds this environment's remote-compiler limits as a
+    single graph; 3 microbatches of 8 compile and run).  BN running
+    statistics update per microbatch, like k sequential reference steps.
     """
     robust = robust or RobustOptions()
+    if grad_accum_steps > 1:
+        micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
+                                     use_duration=use_duration,
+                                     robust=robust)
+
+        def step(params, model_state, opt_state, x, y, dur, rng):
+            k = grad_accum_steps
+            b = x.shape[0]
+            m = b // k
+            xs = x[:m * k].reshape(k, m, *x.shape[1:])
+            ys = y[:m * k].reshape(k, m)
+            ds = dur[:m * k].reshape(k, m)
+
+            def body(carry, sl):
+                ms, grads_sum, loss_sum, corr_sum, r = carry
+                r, sub = jax.random.split(r)
+                (loss, (logits, new_ms)), grads = micro(
+                    params, ms, sl[0], sl[1], sl[2], sub)
+                grads_sum = jax.tree_util.tree_map(
+                    jnp.add, grads_sum, grads)
+                corr = jnp.sum(jnp.argmax(logits, axis=-1) == sl[1])
+                return (new_ms, grads_sum, loss_sum + loss,
+                        corr_sum + corr, r), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (new_ms, grads, loss_sum, corr, _), _ = jax.lax.scan(
+                body, (model_state, zeros, 0.0, 0, rng), (xs, ys, ds))
+            grads = jax.tree_util.tree_map(lambda g: g / k, grads)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_ms, new_opt, loss_sum / k, corr
+
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
+                                 use_duration=use_duration, robust=robust)
 
     def step(params, model_state, opt_state, x, y, dur, rng):
+        (loss, (logits, new_ms)), grads = micro(
+            params, model_state, x, y, dur, rng)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        n_correct = jnp.sum(jnp.argmax(logits, axis=-1) == y)
+        return new_params, new_ms, new_opt, loss, n_correct
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
+                         use_duration: bool, robust: "RobustOptions"):
+    """Loss+grad of one (micro)batch: ((loss, aux), grads)."""
+
+    def run(params, model_state, x, y, dur, rng):
         rng, mix_rng, adv_rng = jax.random.split(rng, 3)
 
         if robust.use_mixup:
@@ -135,14 +194,9 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
             def loss_of(p):
                 return batch_loss(p, x_in, rng)
 
-        (loss, (logits, new_ms)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(params)
-        updates, new_opt = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        n_correct = jnp.sum(jnp.argmax(logits, axis=-1) == y)
-        return new_params, new_ms, new_opt, loss, n_correct
+        return jax.value_and_grad(loss_of, has_aux=True)(params)
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return run
 
 
 def make_eval_step(model):
@@ -256,10 +310,10 @@ def run_training(
         swa.n = ck.n_swa
         swa.avg = ck.swa_avg
 
-    train_step = make_train_step(model, loss_fn, optimizer,
-                                 freq_aug=cfg.freq_aug,
-                                 use_duration=use_duration,
-                                 robust=RobustOptions.from_config(cfg))
+    train_step = make_train_step(
+        model, loss_fn, optimizer, freq_aug=cfg.freq_aug,
+        use_duration=use_duration, robust=RobustOptions.from_config(cfg),
+        grad_accum_steps=int(cfg.extras.get("grad_accum_steps", 1)))
     eval_step = make_eval_step(model)
     rng = jax.random.PRNGKey(seed + 1)
 
