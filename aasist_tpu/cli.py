@@ -118,13 +118,22 @@ def main(argv=None) -> int:
 
     import jax
     print(f"Devices: {jax.devices()}")
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # batch axis must divide the data axis; use the largest divisor
+        d = max(k for k in range(1, n_dev + 1) if cfg.batch_size % k == 0)
+        if d > 1:
+            from aasist_tpu.parallel import make_mesh
+            mesh = make_mesh(n_data=d)
+            print(f"Data-parallel mesh: {d} devices")
 
     model = build_model(cfg.model_config)
     params, _ = model.init(jax.random.PRNGKey(0))
     from aasist_tpu.models.aasist import count_params
     print(f"no. model params: {count_params(params)}")
 
-    loaders = build_loaders(cfg, args.seed)
+    loaders = build_loaders(cfg, args.seed, mesh=mesh)
 
     if args.eval:
         from aasist_tpu.evaluation.metrics import calculate_tdcf_eer
@@ -143,7 +152,7 @@ def main(argv=None) -> int:
 
     from aasist_tpu.train.loop import run_training
     results = run_training(cfg, model, loaders, run_dir,
-                           seed=args.seed, resume=args.resume)
+                           seed=args.seed, resume=args.resume, mesh=mesh)
     print("Exp FIN. EER: {:.3f}, min t-DCF: {:.5f}".format(
         results["eval_eer"], results["eval_tdcf"]))
     return 0

@@ -269,8 +269,15 @@ def run_training(
     resume: bool = False,
     asv_scores_path=None,
     max_epochs: Optional[int] = None,
+    mesh=None,
 ) -> Dict[str, float]:
-    """Full training protocol; returns final best metrics."""
+    """Full training protocol; returns final best metrics.
+
+    With ``mesh`` given (and loaders built with the matching batch
+    sharding), parameters/optimizer state are replicated across the mesh
+    and every step runs data-parallel SPMD — XLA inserts the gradient
+    all-reduce because the loss is a mean over the sharded batch.
+    """
     run_dir = Path(run_dir)
     weights_dir = run_dir / "weights"
     metric_dir = run_dir / "metrics"
@@ -289,6 +296,12 @@ def run_training(
 
     params, model_state = model.init(jax.random.PRNGKey(seed))
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from aasist_tpu.parallel import replicated_sharding
+        repl = replicated_sharding(mesh)
+        params = jax.device_put(params, repl)
+        model_state = jax.device_put(model_state, repl)
+        opt_state = jax.device_put(opt_state, repl)
 
     start_epoch = 0
     # NB: the reference initialises best_dev_eer = 1.0 (main.py:126) while

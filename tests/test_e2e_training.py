@@ -89,6 +89,19 @@ def test_full_training_run_and_resume(tmp_path, corpus):
 
 
 @pytest.mark.slow
+def test_cli_trains_data_parallel_on_mesh(tmp_path, corpus):
+    """The CLI auto-builds a data-parallel mesh (4 of the 8 virtual CPU
+    devices for batch 4) and trains over it end-to-end."""
+    from aasist_tpu import cli
+    conf_path = _make_config(tmp_path, corpus, num_epochs=1)
+    rc = cli.main(["--config", str(conf_path),
+                   "--output_dir", str(tmp_path / "exp_dp"), "--seed", "3"])
+    assert rc == 0
+    run_dir = tmp_path / "exp_dp" / "LA_e2e_ep1_bs4"
+    assert (run_dir / "eval_scores.txt").exists()
+
+
+@pytest.mark.slow
 def test_eval_only_path(tmp_path, corpus):
     from aasist_tpu import cli
     from aasist_tpu.registry import build_model
