@@ -79,7 +79,8 @@ class RobustOptions:
 def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
                     use_duration: bool,
                     robust: Optional["RobustOptions"] = None,
-                    grad_accum_steps: int = 1):
+                    grad_accum_steps: int = 1,
+                    mixed_precision: bool = False):
     """Build the fused jitted train step.
 
     Distinct input lengths (DCS buckets) trigger one compilation each —
@@ -93,10 +94,15 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
     statistics update per microbatch, like k sequential reference steps.
     """
     robust = robust or RobustOptions()
+    if mixed_precision:
+        # the model casts its input to compute_dtype; align it with the
+        # bf16-cast parameters (static attribute, read at trace time)
+        model.compute_dtype = jnp.dtype(jnp.bfloat16)
     if grad_accum_steps > 1:
         micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
                                      use_duration=use_duration,
-                                     robust=robust)
+                                     robust=robust,
+                                     mixed_precision=mixed_precision)
 
         def step(params, model_state, opt_state, x, y, dur, rng):
             k = grad_accum_steps
@@ -128,7 +134,8 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
-                                 use_duration=use_duration, robust=robust)
+                                 use_duration=use_duration, robust=robust,
+                                 mixed_precision=mixed_precision)
 
     def step(params, model_state, opt_state, x, y, dur, rng):
         (loss, (logits, new_ms)), grads = micro(
@@ -142,11 +149,26 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
 
 
 def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
-                         use_duration: bool, robust: "RobustOptions"):
-    """Loss+grad of one (micro)batch: ((loss, aux), grads)."""
+                         use_duration: bool, robust: "RobustOptions",
+                         mixed_precision: bool = False):
+    """Loss+grad of one (micro)batch: ((loss, aux), grads).
+
+    ``mixed_precision`` runs the forward/backward in bfloat16 against
+    float32 master parameters (the cast sits inside the differentiated
+    function, so gradients arrive back in float32 for the optimizer; bf16
+    has fp32's exponent range, so no loss scaling is needed).
+    """
 
     def run(params, model_state, x, y, dur, rng):
         rng, mix_rng, adv_rng = jax.random.split(rng, 3)
+        if mixed_precision:
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, t)
+            model_state_c = cast(model_state)
+        else:
+            cast = lambda t: t
+            model_state_c = model_state
 
         if robust.use_mixup:
             # waveform mixup: x' = lam*x + (1-lam)*x[perm], loss mixed the
@@ -162,13 +184,18 @@ def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
 
         def batch_loss(p, xb, step_rng):
             (_, logits), new_ms = model.apply(
-                p, model_state, xb, train=True, rng=step_rng,
+                cast(p), model_state_c, xb, train=True, rng=step_rng,
                 freq_aug=freq_aug)
+            logits = logits.astype(jnp.float32)
             d = dur if use_duration else None
             d2 = dur2 if use_duration else None
             loss = loss_fn(logits, y, d)
             if robust.use_mixup:
                 loss = lam * loss + (1 - lam) * loss_fn(logits, y2, d2)
+            if mixed_precision:
+                # BN running stats stay float32 in the carried state
+                new_ms = jax.tree_util.tree_map(
+                    lambda a, ref: a.astype(ref.dtype), new_ms, model_state)
             return loss, (logits, new_ms)
 
         if robust.adv_training:
@@ -323,10 +350,13 @@ def run_training(
         swa.n = ck.n_swa
         swa.avg = ck.swa_avg
 
+    mp = str(cfg.extras.get("mixed_precision", False)).lower() in (
+        "1", "true", "yes", "on", "t", "y")
     train_step = make_train_step(
         model, loss_fn, optimizer, freq_aug=cfg.freq_aug,
         use_duration=use_duration, robust=RobustOptions.from_config(cfg),
-        grad_accum_steps=int(cfg.extras.get("grad_accum_steps", 1)))
+        grad_accum_steps=int(cfg.extras.get("grad_accum_steps", 1)),
+        mixed_precision=mp)
     eval_step = make_eval_step(model)
     rng = jax.random.PRNGKey(seed + 1)
 
