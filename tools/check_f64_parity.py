@@ -33,6 +33,9 @@ CONF = {
     "gat_dims": [64, 32],
     "pool_ratios": [0.5, 0.7, 0.5, 0.5],
     "temperatures": [2.0, 2.0, 100.0, 100.0],
+    # the model casts inputs to its compute dtype (default float32);
+    # this check needs the whole trunk in float64
+    "dtype": "float64",
 }
 
 
