@@ -17,7 +17,6 @@ production, CPU elsewhere) — no reference-style hard GPU gate
 from __future__ import annotations
 
 import argparse
-import json
 import shutil
 import sys
 from pathlib import Path

@@ -7,7 +7,7 @@ Line format written by the reference's ``produce_evaluation_file``
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Iterable, List, Sequence, Tuple, Union
+from typing import Dict, List, Sequence, Tuple, Union
 
 
 def write_score_file(

@@ -14,7 +14,6 @@ Usage::
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -11,8 +11,6 @@ directly.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 import jax
 import numpy as np
 
