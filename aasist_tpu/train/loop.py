@@ -366,7 +366,7 @@ def run_training(
         loaders.train.set_epoch(epoch)
         t0 = time.time()
         loss_sum, n_correct, n_seen = 0.0, 0, 0
-        for x, y, dur in loaders.train:
+        for batch_idx, (x, y, dur) in enumerate(loaders.train):
             rng, sub = jax.random.split(rng)
             params, model_state, opt_state, loss, corr = train_step(
                 params, model_state, opt_state, x, y, dur, sub)
@@ -375,6 +375,14 @@ def run_training(
             n_correct += int(corr)
             n_seen += bs
             global_step += 1
+            if batch_idx % 50 == 0:
+                # per-batch progress (the reference's tqdm postfix:
+                # loss/acc/lr — main.py:485-490)
+                print(f"epoch {epoch:03d} batch {batch_idx}/"
+                      f"{steps_per_epoch} loss={loss_sum / n_seen:.4f} "
+                      f"acc={100 * n_correct / n_seen:.2f}% "
+                      f"lr={float(schedule(global_step)):.2e}",
+                      flush=True)
         train_loss = loss_sum / max(n_seen, 1)
         train_acc = 100.0 * n_correct / max(n_seen, 1)
         log.scalar("loss", train_loss, epoch)
