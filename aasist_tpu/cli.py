@@ -146,6 +146,10 @@ def main(argv=None) -> int:
                          loaders.eval_trial_meta, eval_score_path)
         eer, tdcf = calculate_tdcf_eer(
             eval_score_path, cfg.asv_scores(), run_dir / "t-DCF_EER.txt")
+        # reference writes the report twice on the eval-only path
+        # (main.py:110-118: t-DCF_EER.txt and loaded_model_t-DCF_EER.txt)
+        calculate_tdcf_eer(eval_score_path, cfg.asv_scores(),
+                           run_dir / "loaded_model_t-DCF_EER.txt")
         print(f"DONE. EER: {eer:.3f}%, min t-DCF: {tdcf:.5f}")
         return 0
 
