@@ -237,7 +237,7 @@ def pick_tile(t_out_total: int, c_in: int, c_out: int, batch: int):
     ~24 MB of VMEM (scoped-vmem limit raised via CompilerParams).
     """
     u = 256 if t_out_total >= 256 else 128
-    budget = 24 * 1024 * 1024
+    budget = 80 * 1024 * 1024
     per_g = (3 * c_out * 24 * (u + 128) * 2      # y1 phases bf16
              + c_out * 24 * (u + 128) * 4        # f32 accumulator
              + 6 * c_out * 23 * u * 2            # conv2 patch concat
