@@ -498,9 +498,17 @@ DecodeResult decode(const uint8_t* data, size_t size) {
       break;  // ignore trailing padding/id3 junk
   }
 
-  if (si.total_samples &&
-      res.samples.size() > si.total_samples * si.channels)
-    res.samples.resize((size_t)(si.total_samples * si.channels));
+  if (si.total_samples) {
+    if (res.samples.size() > si.total_samples * si.channels) {
+      res.samples.resize((size_t)(si.total_samples * si.channels));
+    } else if (res.samples.size() < si.total_samples * si.channels) {
+      // STREAMINFO promised more samples: a silently-truncated stream
+      // must not pass for a complete one (it would corrupt training
+      // data the way the reference's zero-fill error path did)
+      fail(res, "stream truncated: fewer samples than STREAMINFO declares");
+      return res;
+    }
+  }
   res.ok = true;
   return res;
 }

@@ -1,0 +1,60 @@
+"""Checkpoint-converter error handling (utils/torch_compat)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aasist_tpu.utils.torch_compat import fill_from_state_dict
+
+
+def _tiny_trees():
+    params = {"lin": {"weight": jnp.zeros((2, 3)), "bias": jnp.zeros(2)},
+              "encoder": [{"conv1": {"weight": jnp.zeros((4, 1, 2, 3))}}],
+              "bn": {"weight": jnp.ones(2), "bias": jnp.zeros(2)}}
+    state = {"bn": {"mean": jnp.zeros(2), "var": jnp.ones(2)}}
+    return params, state
+
+
+def test_fill_routes_running_stats_to_state():
+    params, state = _tiny_trees()
+    sd = {"bn.running_mean": np.full(2, 0.5, np.float32),
+          "bn.running_var": np.full(2, 2.0, np.float32),
+          "bn.num_batches_tracked": np.asarray(7)}
+    p2, s2 = fill_from_state_dict(params, state, sd)
+    np.testing.assert_array_equal(np.asarray(s2["bn"]["mean"]), 0.5)
+    np.testing.assert_array_equal(np.asarray(s2["bn"]["var"]), 2.0)
+    # originals untouched
+    np.testing.assert_array_equal(np.asarray(state["bn"]["mean"]), 0.0)
+
+
+def test_sequential_wrapper_collapsed():
+    params, state = _tiny_trees()
+    sd = {"encoder.0.0.conv1.weight":
+          np.ones((4, 1, 2, 3), np.float32)}
+    p2, _ = fill_from_state_dict(params, state, sd)
+    np.testing.assert_array_equal(
+        np.asarray(p2["encoder"][0]["conv1"]["weight"]), 1.0)
+
+
+def test_unknown_key_strict_raises():
+    params, state = _tiny_trees()
+    with pytest.raises(KeyError):
+        fill_from_state_dict(params, state,
+                             {"nonexistent.weight": np.zeros(2)})
+
+
+def test_unknown_key_lenient_skips():
+    params, state = _tiny_trees()
+    p2, _ = fill_from_state_dict(params, state,
+                                 {"nonexistent.weight": np.zeros(2)},
+                                 strict=False)
+    assert p2 is not None
+
+
+def test_shape_mismatch_raises():
+    params, state = _tiny_trees()
+    with pytest.raises(ValueError):
+        fill_from_state_dict(params, state,
+                             {"lin.weight": np.zeros((9, 9), np.float32)})
