@@ -59,6 +59,7 @@ def build_loaders(cfg, seed: int, mesh=None):
     train = D.TrainBatcher(
         D.AudioStore(cfg.audio_dir("train")), train_files, labels,
         batch_size=cfg.batch_size, seed=seed, dcs_buckets=buckets,
+        dcs_min=dcs.min_samples, dcs_max=dcs.max_samples,
         fixed_len=fixed_len, sharding=sharding)
     dev = D.EvalBatcher(
         D.AudioStore(cfg.audio_dir("dev")), dev_files,

@@ -68,28 +68,48 @@ def bucket_lengths(min_samples: int, max_samples: int,
     """Static DCS length buckets, multiples of 4 (collate rule kept from
     data_utils.py:106-109 so time dims stay divisible through the model)."""
     ls = np.linspace(min_samples, max_samples, num_buckets)
-    return (np.round(ls / 4).astype(np.int64) * 4)
+    # ceil so the top bucket always covers max_samples (per-sample DCS
+    # targets are drawn up to max_samples and must fit in some bucket)
+    return (np.ceil(ls / 4).astype(np.int64) * 4)
 
 
 def dynamic_chunk(x: np.ndarray, rng: np.random.Generator,
-                  buckets: np.ndarray) -> Tuple[np.ndarray, float]:
-    """Dynamic chunk size, bucketed for static XLA shapes.
+                  target: int, pad_to: int) -> Tuple[np.ndarray, float]:
+    """Per-sample dynamic chunk size (reference data_utils.py:68-97).
 
-    The reference draws target_len ~ U{min..max} per sample
-    (data_utils.py:84) and zero-pads each batch to its max length; here the
-    draw is snapped to the nearest bucket so each batch has one of
-    ``len(buckets)`` static shapes.  Returns (wave, duration_seconds) with
-    duration = target_len/16000 as in the reference (used by the
-    duration-adaptive ALMFT margin).
+    Crops (random start) or tile-repeats the waveform to ``target``
+    samples, then zero-pads to ``pad_to`` — the reference collate does the
+    same zero-pad to the batch max length (data_utils.py:100-119); here
+    ``pad_to`` is the batch's bucket length so shapes stay static for XLA.
+    Returns (wave (pad_to,), duration_seconds) with
+    duration = target/16000, the per-sample value the duration-adaptive
+    ALMFT margin consumes.
     """
-    target = int(rng.choice(buckets))
     duration = target / 16000.0
     n = x.shape[0]
     if n >= target:
         start = rng.integers(0, n - target + 1)
-        return x[start:start + target], duration
-    reps = target // n + 1
-    return np.tile(x, reps)[:target], duration
+        row = x[start:start + target]
+    else:
+        reps = target // n + 1
+        row = np.tile(x, reps)[:target]
+    if target < pad_to:
+        row = np.concatenate(
+            [row, np.zeros(pad_to - target, dtype=row.dtype)])
+    return row, duration
+
+
+def draw_chunk_targets(rng: np.random.Generator, n: int, min_samples: int,
+                       max_samples: int) -> np.ndarray:
+    """Per-sample target lengths ~ U{min..max}, the reference's draw
+    (data_utils.py:84: np.random.randint(min, max+1))."""
+    return rng.integers(min_samples, max_samples + 1, size=n)
+
+
+def snap_up_to_bucket(value: int, buckets: np.ndarray) -> int:
+    """Smallest bucket >= value (buckets sorted ascending)."""
+    idx = int(np.searchsorted(buckets, value, side="left"))
+    return int(buckets[min(idx, len(buckets) - 1)])
 
 
 # ------------------------------------------------------------- audio store
@@ -205,6 +225,7 @@ class TrainBatcher:
     def __init__(self, store: AudioStore, utt_ids: Sequence[str],
                  labels: dict, batch_size: int, seed: int,
                  dcs_buckets: Optional[np.ndarray] = None,
+                 dcs_min: int = 16000, dcs_max: int = 96000,
                  fixed_len: int = FIXED_TRAIN_LEN,
                  sharding=None, num_threads: int = 8, prefetch: int = 2):
         self.store = store
@@ -212,7 +233,10 @@ class TrainBatcher:
         self.labels = labels
         self.batch_size = batch_size
         self.seed = seed
-        self.dcs_buckets = dcs_buckets
+        self.dcs_buckets = (np.sort(np.asarray(dcs_buckets))
+                            if dcs_buckets is not None else None)
+        self.dcs_min = dcs_min
+        self.dcs_max = dcs_max
         self.fixed_len = fixed_len
         self.sharding = sharding
         self.num_threads = num_threads
@@ -229,21 +253,26 @@ class TrainBatcher:
         return np.random.default_rng((self.seed, self.epoch))
 
     def __iter__(self):
-        """Yields (x_dev (B, L), y_dev (B,), durations (B,)) on device."""
+        """Yields (x_dev (B, L), y_dev (B,), durations (B,)) on device.
+
+        DCS mode reproduces the reference per-SAMPLE: each row draws its
+        own target_len ~ U{min..max} (data_utils.py:84), crops/tiles to
+        it, and carries its own duration into the ALMFT margin; the batch
+        is zero-padded (like the reference collate, data_utils.py:100-119)
+        to the smallest bucket covering the batch's longest target, so XLA
+        sees at most ``len(buckets)`` static shapes.
+        """
         rng = self._epoch_rng()
         order = rng.permutation(len(self.utt_ids))
         n_batches = len(self)
 
-        # one target length per batch (all rows share a static shape)
-        if self.dcs_buckets is not None:
-            batch_lens = rng.choice(self.dcs_buckets, size=n_batches)
-        else:
-            batch_lens = np.full(n_batches, self.fixed_len, dtype=np.int64)
-
-        def load_row(utt_id: str, target: int,
+        def load_row(utt_id: str, target: int, pad_to: int,
                      row_rng: np.random.Generator):
             x = self.store.read(utt_id)
-            return pad_random(x, target, row_rng)
+            if self.dcs_buckets is not None:
+                row, dur = dynamic_chunk(x, row_rng, target, pad_to)
+                return row, dur
+            return pad_random(x, target, row_rng), target / 16000.0
 
         def produce(out_q: queue.Queue):
             try:
@@ -252,16 +281,24 @@ class TrainBatcher:
                         idx = order[b * self.batch_size:
                                     (b + 1) * self.batch_size]
                         ids = [self.utt_ids[i] for i in idx]
-                        target = int(batch_lens[b])
                         row_rngs = [np.random.default_rng(
                             (self.seed, self.epoch, b, j))
                             for j in range(len(ids))]
-                        rows = list(pool.map(load_row, ids,
-                                             [target] * len(ids), row_rngs))
-                        x = np.stack(rows).astype(np.float32)
+                        if self.dcs_buckets is not None:
+                            targets = [int(draw_chunk_targets(
+                                r, 1, self.dcs_min, self.dcs_max)[0])
+                                for r in row_rngs]
+                            pad_to = snap_up_to_bucket(max(targets),
+                                                       self.dcs_buckets)
+                        else:
+                            targets = [self.fixed_len] * len(ids)
+                            pad_to = self.fixed_len
+                        out = list(pool.map(load_row, ids, targets,
+                                            [pad_to] * len(ids), row_rngs))
+                        x = np.stack([r for r, _ in out]).astype(np.float32)
                         y = np.asarray([self.labels[u] for u in ids],
                                        np.int32)
-                        dur = np.full(len(ids), target / 16000.0, np.float32)
+                        dur = np.asarray([d for _, d in out], np.float32)
                         out_q.put((x, y, dur))
             except BaseException as e:
                 out_q.put(e)

@@ -178,6 +178,24 @@ def avg_pool_full(x: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
     return jnp.mean(x, axis=tuple(axes))
 
 
+# ------------------------------------------------------- model-object helpers
+def with_compute_dtype(model, dtype):
+    """Return a shallow copy of an architecture object with a different
+    ``compute_dtype``.
+
+    Architecture objects are static trace-time descriptions shared between
+    scorers/train-steps; mutating them in place would couple unrelated
+    users (two Scorers with different bf16 settings over one model object
+    would interfere).  Copying is cheap — parameters live in external
+    pytrees, the object holds only config + precomputed constants.
+    """
+    import copy
+
+    m = copy.copy(model)
+    m.compute_dtype = jnp.dtype(dtype)
+    return m
+
+
 # ------------------------------------------------------------- RNG utilities
 class RngStream:
     """Deterministic stream of PRNG keys for layer-by-layer dropout.

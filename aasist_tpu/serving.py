@@ -33,21 +33,28 @@ class Scorer:
     def __init__(self, model, params, model_state, *, batch_size: int = 64,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
                  use_fused_encoder: Optional[bool] = None):
+        import copy
+
         import jax
         import jax.numpy as jnp
 
+        from aasist_tpu.nn import with_compute_dtype
+
         self.batch_size = batch_size
         self.window = window
-        self.model = model
+        # never mutate the caller's architecture object (it may back other
+        # scorers/train steps): configure a private shallow copy instead
         if bf16:
             cast = lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, t)
             params, model_state = cast(params), cast(model_state)
-            model.compute_dtype = jnp.dtype(jnp.bfloat16)
+            model = with_compute_dtype(model, jnp.bfloat16)
         if use_fused_encoder is not None and hasattr(
                 model, "use_fused_encoder"):
+            model = copy.copy(model)
             model.use_fused_encoder = use_fused_encoder
+        self.model = model
         self._params = params
         self._state = model_state
 

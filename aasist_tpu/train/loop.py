@@ -96,8 +96,10 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
     robust = robust or RobustOptions()
     if mixed_precision:
         # the model casts its input to compute_dtype; align it with the
-        # bf16-cast parameters (static attribute, read at trace time)
-        model.compute_dtype = jnp.dtype(jnp.bfloat16)
+        # bf16-cast parameters.  Reconfigure a private copy — the caller's
+        # architecture object may back fp32 eval steps concurrently.
+        from aasist_tpu.nn import with_compute_dtype
+        model = with_compute_dtype(model, jnp.bfloat16)
     if grad_accum_steps > 1:
         micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
                                      use_duration=use_duration,
@@ -107,6 +109,14 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
         def step(params, model_state, opt_state, x, y, dur, rng):
             k = grad_accum_steps
             b = x.shape[0]
+            if b % k:
+                # shape check happens at trace time (static shapes), so
+                # this raises on the first batch rather than silently
+                # training on b - b%k samples
+                raise ValueError(
+                    f"batch size {b} is not divisible by grad_accum_steps "
+                    f"{k}; the tail {b % k} rows would be dropped — use a "
+                    "divisible batch size or adjust grad_accum_steps")
             m = b // k
             xs = x[:m * k].reshape(k, m, *x.shape[1:])
             ys = y[:m * k].reshape(k, m)

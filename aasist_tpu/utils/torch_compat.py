@@ -20,7 +20,7 @@ train/eval/bench time.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import numpy as np
 
@@ -45,14 +45,38 @@ def _navigate(tree: Any, tokens):
     return node
 
 
+def _leaf_paths(tree: Any, prefix: Tuple[str, ...] = ()) -> list:
+    """Enumerate dotted paths of every array leaf in a nested dict/list."""
+    if isinstance(tree, dict):
+        out = []
+        for k, v in tree.items():
+            out.extend(_leaf_paths(v, prefix + (str(k),)))
+        return out
+    if isinstance(tree, (list, tuple)):
+        out = []
+        for i, v in enumerate(tree):
+            out.extend(_leaf_paths(v, prefix + (str(i),)))
+        return out
+    return [prefix]
+
+
 def fill_from_state_dict(
     params: Any, state: Any, sd: Dict[str, np.ndarray],
     strict: bool = True,
+    allow_unfilled: Sequence[str] = (),
 ) -> Tuple[Any, Any]:
     """Fill freshly-initialised (params, state) trees from a torch sd.
 
     Returns new trees (input trees are not mutated at the leaf level —
     containers are rebuilt via deep copy first).
+
+    ``strict`` guards the ckpt→model direction (every checkpoint tensor
+    must land somewhere).  The model→ckpt direction is always checked:
+    any model leaf the checkpoint did not fill raises, so a silently
+    random-initialised leaf cannot rot undetected.  Genuinely-new heads
+    (e.g. fine-tuning a speaker-conditioning module absent from the
+    reference .pth) are opted out per-prefix via ``allow_unfilled``
+    (dotted-path prefixes, e.g. ``"spk_cond_gat"``).
     """
     import copy
     import jax.numpy as jnp
@@ -69,8 +93,10 @@ def fill_from_state_dict(
         leaf = tokens[-1]
         if leaf in _STAT_NAMES:
             target, leaf = state, _STAT_NAMES[leaf]
+            tree_tag = "state"
         else:
             target = params
+            tree_tag = "params"
         try:
             parent = _navigate(target, tokens[:-1])
         except (KeyError, IndexError, TypeError) as e:
@@ -87,7 +113,24 @@ def fill_from_state_dict(
                 f"shape mismatch for {key!r}: model {expected.shape} "
                 f"vs checkpoint {value.shape}")
         parent[leaf] = jnp.asarray(value)
-        filled.add(key)
+        filled.add((tree_tag, tuple(tokens[:-1]) + (leaf,)))
+
+    unfilled = []
+    for tag, tree in (("params", params), ("state", state)):
+        for path in _leaf_paths(tree):
+            if (tag, path) in filled:
+                continue
+            dotted = ".".join(path)
+            if any(dotted == a or dotted.startswith(a + ".")
+                   for a in allow_unfilled):
+                continue
+            unfilled.append(f"{tag}:{dotted}")
+    if unfilled:
+        raise ValueError(
+            "checkpoint left model leaves at their random initialisation "
+            f"({len(unfilled)}): {sorted(unfilled)[:20]}"
+            + (" ..." if len(unfilled) > 20 else "")
+            + " — pass allow_unfilled=[...] for genuinely-new heads")
     return params, state
 
 

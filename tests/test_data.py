@@ -50,14 +50,33 @@ def test_bucket_lengths_multiple_of_4():
     assert b[0] == 16000 and b[-1] == 96000
 
 
-def test_dynamic_chunk_duration():
+def test_dynamic_chunk_per_sample_semantics():
+    """Reference data_utils.py:68-97: per-sample target, crop-or-tile,
+    duration = target/16000; the zero-pad to the bucket mirrors the
+    reference collate (data_utils.py:100-119)."""
     rng = np.random.default_rng(0)
+    x = np.arange(1, 30001, dtype=np.float32)
+    # crop case
+    y, dur = D.dynamic_chunk(x, rng, 20000, 24000)
+    assert y.shape == (24000,)
+    assert dur == 20000 / 16000.0
+    assert (y[20000:] == 0).all() and (y[:20000] != 0).all()
+    # tile case
+    y2, dur2 = D.dynamic_chunk(x[:9000], rng, 20000, 20000)
+    assert y2.shape == (20000,)
+    np.testing.assert_array_equal(y2[:9000], y2[9000:18000])
+    assert dur2 == 1.25
+
+
+def test_draw_chunk_targets_and_bucket_snap():
+    rng = np.random.default_rng(1)
+    t = D.draw_chunk_targets(rng, 1000, 16000, 96000)
+    assert t.min() >= 16000 and t.max() <= 96000
     buckets = D.bucket_lengths(16000, 96000, 6)
-    x = np.ones(30000, np.float32)
-    for _ in range(5):
-        y, dur = D.dynamic_chunk(x, rng, buckets)
-        assert y.shape[0] in buckets
-        assert dur == y.shape[0] / 16000.0
+    assert D.snap_up_to_bucket(16000, buckets) == buckets[0]
+    assert D.snap_up_to_bucket(96000, buckets) == buckets[-1]
+    mid = D.snap_up_to_bucket(50000, buckets)
+    assert mid >= 50000 and mid in buckets
 
 
 # ----------------------------------------------------------------- protocol
@@ -122,10 +141,22 @@ def test_train_batcher_dcs_buckets(fixture_dir):
     buckets = D.bucket_lengths(16000, 96000, 6)
     b = D.TrainBatcher(store, ids["train"], labels, batch_size=4, seed=7,
                        dcs_buckets=buckets)
+    saw_within_batch_variation = False
     for x, y, dur in b:
-        assert np.asarray(x).shape[1] in buckets
-        assert np.allclose(np.asarray(dur),
-                           np.asarray(x).shape[1] / 16000.0)
+        x, dur = np.asarray(x), np.asarray(dur)
+        assert x.shape[1] in buckets
+        # per-sample durations (VERDICT round 1, missing #5): each row has
+        # its own target <= bucket and the bucket covers the longest row
+        assert (dur * 16000 <= x.shape[1] + 0.5).all()
+        assert D.snap_up_to_bucket(int(dur.max() * 16000), buckets) \
+            == x.shape[1]
+        if len(np.unique(dur)) > 1:
+            saw_within_batch_variation = True
+        # rows are zero-padded beyond their own target length
+        for j in range(x.shape[0]):
+            tj = int(round(dur[j] * 16000))
+            assert (x[j, tj:] == 0).all()
+    assert saw_within_batch_variation
 
 
 def test_missing_audio_raises(fixture_dir):

