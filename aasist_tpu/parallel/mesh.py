@@ -37,6 +37,44 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def initialize_multihost(coordinator_address: str, num_processes: int,
+                         process_id: int) -> None:
+    """Join a multi-host (DCN) run before building the global mesh.
+
+    Call once per process before any other JAX API, then build the mesh
+    with :func:`make_mesh` over ``jax.devices()`` (the GLOBAL device list)
+    and feed per-host batch shards through :func:`global_batch`.  On CPU
+    hosts collectives go through Gloo (used by the 2-process CI test,
+    tests/test_multihost.py); on TPU pods the same code path rides
+    ICI/DCN.  The reference has no multi-host story at all (SURVEY.md §2
+    parallelism table).
+    """
+    # CPU cross-process collectives need an explicit implementation.
+    # NB: must not touch jax.default_backend()/jax.devices() here — any
+    # backend-initialising call before distributed.initialize is an error.
+    platforms = str(jax.config.jax_platforms or "")
+    if "cpu" in platforms or platforms == "":
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:  # older jax: option absent, gloo is the default
+            pass
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_batch(sharding: NamedSharding, local_rows: np.ndarray,
+                 global_shape: Sequence[int]):
+    """Assemble a globally-sharded batch from this process's local rows.
+
+    Each host passes only the rows it loaded; the result is one logical
+    array of ``global_shape`` sharded over the mesh's data axis, usable
+    directly in a pjit-ted train/eval step.
+    """
+    return jax.make_array_from_process_local_data(
+        sharding, local_rows, tuple(global_shape))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard dim 0 (batch) across the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

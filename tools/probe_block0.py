@@ -226,7 +226,8 @@ def check_cpu():
 
 
 def time_tpu():
-    B, T = 256, 21490
+    import os
+    B, T = int(os.environ.get("PROBE_B", 128)), 21490
     key = jax.random.PRNGKey(0)
     p, s = make_block(1, 32, key)
     x = (jax.random.normal(key, (B, 1, 23, T), jnp.float32)
