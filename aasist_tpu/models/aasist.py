@@ -261,8 +261,57 @@ class AasistModel:
                 temperature=t2, train=train, rngs=rngs)
             return o_t + t_aug, o_s + s_aug, m + m_aug
 
-        out_t1, out_s1, master1 = branch("1", params["master1"])
-        out_t2, out_s2, master2 = branch("2", params["master2"])
+        if train:
+            out_t1, out_s1, master1 = branch("1", params["master1"])
+            out_t2, out_s2, master2 = branch("2", params["master2"])
+        else:
+            # eval: run both branches as ONE vmapped computation — halves
+            # the graph-stack op count (the branches are structurally
+            # identical, differing only in parameters), a measurable
+            # dispatch/layout saving at large batch (docs/PERF.md).  Same
+            # math as the sequential path; no dropout/state updates in
+            # eval, so vmap over stacked params is exact.
+            stack = lambda *ts: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ts)
+            bp = {
+                "l1": stack(params["HtrgGAT_layer_ST11"],
+                            params["HtrgGAT_layer_ST21"]),
+                "l2": stack(params["HtrgGAT_layer_ST12"],
+                            params["HtrgGAT_layer_ST22"]),
+                "ph": stack(params["pool_hS1"], params["pool_hS2"]),
+                "pt": stack(params["pool_hT1"], params["pool_hT2"]),
+            }
+            bs = {
+                "l1": stack(state["HtrgGAT_layer_ST11"],
+                            state["HtrgGAT_layer_ST21"]),
+                "l2": stack(state["HtrgGAT_layer_ST12"],
+                            state["HtrgGAT_layer_ST22"]),
+            }
+            masters = jnp.stack([params["master1"], params["master2"]])
+
+            def one(bpi, bsi, m):
+                null = RngStream(None)
+                o_t, o_s, mm, _ = L.htrg_gat_apply(
+                    bpi["l1"], bsi["l1"], out_t, out_s, m,
+                    temperature=t2, train=False, rngs=null)
+                o_s = L.graph_pool_apply(bpi["ph"], o_s, k=r2, min_nodes=1,
+                                         dropout_p=0.3, train=False,
+                                         rngs=null)
+                o_t = L.graph_pool_apply(bpi["pt"], o_t, k=r2, min_nodes=1,
+                                         dropout_p=0.3, train=False,
+                                         rngs=null)
+                t_aug, s_aug, m_aug, _ = L.htrg_gat_apply(
+                    bpi["l2"], bsi["l2"], o_t, o_s, mm,
+                    temperature=t2, train=False, rngs=null)
+                return o_t + t_aug, o_s + s_aug, mm + m_aug
+
+            (bt, bsig, bm) = jax.vmap(one, in_axes=(0, 0, 0))(
+                bp, bs, masters)
+            out_t1, out_s1, master1 = bt[0], bsig[0], bm[0]
+            out_t2, out_s2, master2 = bt[1], bsig[1], bm[1]
+            for l in ("HtrgGAT_layer_ST11", "HtrgGAT_layer_ST12",
+                      "HtrgGAT_layer_ST21", "HtrgGAT_layer_ST22"):
+                new_state[l] = state[l]
 
         out_t1 = nn.dropout(rngs.next(), out_t1, 0.2, train)
         out_t2 = nn.dropout(rngs.next(), out_t2, 0.2, train)
