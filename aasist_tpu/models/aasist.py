@@ -83,6 +83,14 @@ class AasistModel:
         self.use_fused_encoder = bool(model_config.get(
             "use_fused_encoder", False))
 
+        # fused Pallas frontend (aasist_tpu/ops/fused_frontend): sinc conv
+        # + abs + maxpool(3,3) + bn + selu in one kernel — avoids the
+        # (B, 70, 64472) HBM round-trip, ~41 -> ~12 ms at batch 256
+        # (docs/PERF.md).  Eval-only; training uses the XLA path (the
+        # kernel has no VJP).
+        self.use_fused_frontend = bool(model_config.get(
+            "use_fused_frontend", False))
+
         # rematerialize encoder blocks in the backward pass
         # (jax.checkpoint): the early blocks' activations are
         # (B, 32, 24, ~21k) — recomputing them costs ~1/3 extra encoder
@@ -168,12 +176,19 @@ class AasistModel:
             if aug_rng is None:
                 raise ValueError("freq_aug requires an rng key")
             bank = L.freq_mask_filterbank(aug_rng, bank)
-        x = L.sinc_frontend(bank, x)                      # (B, C, L')
-        x = jnp.abs(x)[:, None]                           # (B, 1, C, L')
-        x = nn.max_pool(x, (3, 3))
-        x, new_state["first_bn"] = nn.batch_norm(
-            params["first_bn"], state["first_bn"], x, axis=1, train=train)
-        x = jax.nn.selu(x)
+        if self.use_fused_frontend and not train:
+            from aasist_tpu.ops.fused_frontend import fused_frontend
+            x = fused_frontend(x, bank, params["first_bn"],
+                               state["first_bn"])
+            new_state["first_bn"] = state["first_bn"]
+        else:
+            x = L.sinc_frontend(bank, x)                  # (B, C, L')
+            x = jnp.abs(x)[:, None]                       # (B, 1, C, L')
+            x = nn.max_pool(x, (3, 3))
+            x, new_state["first_bn"] = nn.batch_norm(
+                params["first_bn"], state["first_bn"], x, axis=1,
+                train=train)
+            x = jax.nn.selu(x)
 
         if (self.use_fused_encoder and not train
                 and self.encoder_type == "residual"):

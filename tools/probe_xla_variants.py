@@ -29,16 +29,22 @@ from aasist_tpu.models import layers as L  # noqa: E402
 from aasist_tpu.nn import BN_EPS  # noqa: E402
 
 
-def sync(v):
-    return float(jnp.sum(v.astype(jnp.float32)))
+def timeit(fn, *args, iters=8, depth=3):
+    """fn is wrapped so the reduction happens INSIDE the jit and dispatch
+    is pipelined — per-call time is device time (RPC latency hidden)."""
+    import collections
 
-
-def timeit(fn, *args, iters=6):
-    r = fn(*args)
-    sync(r)
+    jf = jax.jit(lambda *a: jnp.sum(fn(*a).astype(jnp.float32)))
+    for _ in range(2):
+        float(jf(*args))
+    pending = collections.deque()
     t0 = time.perf_counter()
     for _ in range(iters):
-        sync(fn(*args))
+        pending.append(jf(*args))
+        if len(pending) > depth:
+            float(pending.popleft())
+    while pending:
+        float(pending.popleft())
     return (time.perf_counter() - t0) / iters
 
 
