@@ -90,6 +90,17 @@ class AasistModel:
         # kernel has no VJP).
         self.use_fused_frontend = bool(model_config.get(
             "use_fused_frontend", False))
+        # with the Pallas frontend in the program, XLA's block-0 conv
+        # temporaries ((B,32,24,21490) bf16 twice) push the program past
+        # HBM at batch 256 — lax.map over batch chunks runs block 0
+        # sequentially per chunk, capping temp memory (docs/PERF.md r2)
+        self.b0_chunks = int(model_config.get(
+            "b0_chunks", 2 if self.use_fused_frontend else 1))
+        # eval-only polyphase conv2+pool for downsample blocks (stride-3
+        # conv with 3C phase kernels + channel-block max) — removes the
+        # gather-class maxpool and runs conv2 at 3x output channels
+        self.use_poly_blocks = bool(model_config.get(
+            "use_poly_blocks", False))
 
         # rematerialize encoder blocks in the backward pass
         # (jax.checkpoint): the early blocks' activations are
@@ -220,7 +231,35 @@ class AasistModel:
         else:
             enc_s = []
             e = x
+            start_block = 0
+            if (self.use_fused_frontend and not train
+                    and self.encoder_type == "residual"
+                    and self.b0_chunks > 1
+                    and e.shape[0] % self.b0_chunks == 0):
+                nc = self.b0_chunks
+                b = e.shape[0]
+
+                def _blk0(h):
+                    out, _ = L.residual_block_apply(
+                        params["encoder"][0], state["encoder"][0], h,
+                        first=True, train=False)
+                    return out
+
+                ec = e.reshape((nc, b // nc) + e.shape[1:])
+                e = jax.lax.map(_blk0, ec)
+                e = e.reshape((b,) + e.shape[2:])
+                enc_s.append(state["encoder"][0])
+                start_block = 1
             for i, bp in enumerate(params["encoder"]):
+                if i < start_block:
+                    continue
+                if (self.use_poly_blocks and not train
+                        and self.encoder_type == "residual"
+                        and "conv_downsample" in bp):
+                    e = L.residual_block_apply_poly(
+                        bp, state["encoder"][i], e, first=(i == 0))
+                    enc_s.append(state["encoder"][i])
+                    continue
                 if self.encoder_type == "res2net":
                     block = functools.partial(
                         L.res2net_block_apply, first=(i == 0),

@@ -24,6 +24,7 @@ import math
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -287,6 +288,61 @@ def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
                              padding=((0, 0), (1, 1)))
     out = out + identity
     return nn.max_pool(out, (1, 3)), new_s
+
+
+def residual_block_apply_poly(p: Params, s: State, x: jnp.ndarray, *,
+                              first: bool) -> jnp.ndarray:
+    """Eval-only polyphase form of ``residual_block_apply`` for blocks
+    WITH a downsample conv.
+
+    conv2 and the trailing maxpool(1,3) are computed as ONE stride-3
+    convolution with 3C phase-shifted (1x5)-tap kernels followed by a
+    channel-block max — every stride-3 data access pattern (which XLA
+    lowers at gather speed; docs/PERF.md round 2) disappears, and the
+    conv runs at 3x the output channels on the MXU.  The identity path
+    rides the downsample conv's phase kernels for free.  Numerically the
+    same bf16 rounding class as the standard path (conv accumulation
+    order differs).
+    """
+    out = nn.conv2d(p["conv1"], x, padding=((1, 1), (1, 1)))
+    out, _ = nn.batch_norm(p["bn2"], s["bn2"], out, axis=1, train=False)
+    out = jax.nn.selu(out)
+
+    w2 = p["conv2"]["weight"]                      # (C, Ci2, 2, 3)
+    c, ci2 = w2.shape[0], w2.shape[1]
+    dt = w2.dtype
+    # phase-packed conv2: y2[3w+r] = sum_dt w2[dt] z[3w + (r+dt) - 1]
+    w2p = jnp.zeros((3, c, ci2, 2, 5), dt)
+    for r in range(3):
+        w2p = w2p.at[r, :, :, :, r:r + 3].set(w2)
+    w2p = w2p.reshape(3 * c, ci2, 2, 5)
+    y2p = lax.conv_general_dilated(
+        out, w2p, window_strides=(1, 3), padding=((0, 0), (1, 4)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "bias" in p["conv2"]:
+        y2p = y2p + jnp.tile(p["conv2"]["bias"], 3)[None, :, None, None]
+
+    # identity via the downsample conv's phase kernels (k=(1,3), f-pad 0)
+    wd = p["conv_downsample"]["weight"]            # (C, Ci, 1, 3)
+    ci = wd.shape[1]
+    wdp = jnp.zeros((3, c, ci, 1, 5), dt)
+    for r in range(3):
+        wdp = wdp.at[r, :, :, :, r:r + 3].set(wd)
+    wdp = wdp.reshape(3 * c, ci, 1, 5)
+    idp = lax.conv_general_dilated(
+        x, wdp, window_strides=(1, 3), padding=((0, 0), (1, 4)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    if "bias" in p["conv_downsample"]:
+        idp = idp + jnp.tile(p["conv_downsample"]["bias"],
+                             3)[None, :, None, None]
+
+    t_out = x.shape[3] // 3
+    ssum = (y2p + idp)[:, :, :, :t_out]
+    b = ssum.shape[0]
+    pooled = jnp.max(
+        ssum.reshape(b, 3, c, ssum.shape[2], t_out), axis=1)
+    return pooled
+
 
 
 # =====================================================================

@@ -167,6 +167,10 @@ def max_pool(x: jnp.ndarray, window: Sequence[int],
     ``window`` has one entry per spatial dim (x.ndim - 2 of them);
     default stride equals window (torch MaxPoolNd default).
     """
+    # NB: a reshape-split + max formulation (free minor split, dense
+    # backward) was tried in round 2 and measured SLOWER on TPU for both
+    # forward and backward than reduce_window, and its (T/3, 3) minor
+    # layout broke the full-model compile — keep reduce_window.
     stride = tuple(stride) if stride is not None else tuple(window)
     dims = (1, 1) + tuple(window)
     strides = (1, 1) + stride

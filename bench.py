@@ -42,6 +42,12 @@ def main() -> int:
         "temperatures": [2.0, 2.0, 100.0, 100.0],
         "dtype": "bfloat16" if dtype == "bf16" else "float32",
     }
+    # fused Pallas sinc frontend + lax.map-chunked block 0: measured
+    # ~1% over the pure XLA path at batch 256 (docs/PERF.md round 2);
+    # BENCH_FUSED_FE=0 opts out, and any compile failure falls back to
+    # the XLA path below
+    if os.environ.get("BENCH_FUSED_FE", "1") != "0" and dtype == "bf16":
+        conf["use_fused_frontend"] = True
     model = build_model(conf)
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -77,33 +83,42 @@ def main() -> int:
     batch_used = None
     for batch in (int(os.environ.get("BENCH_BATCH", 0)),
                   256, 128, 64, 32, 16):
-        if batch <= 0:
+        if batch <= 0 or value is not None:
             continue
-        try:
-            x = rng.standard_normal((batch, FIXED_LEN)).astype(np.float32)
-            x = jax.device_put(x)
-            # compile + warmup (first compile can take minutes remotely)
-            float(fwd(params, state, x))
-            float(fwd(params, state, x))
-            n_iters = max(4, int(4096 / batch))
-            import collections
-            pending = collections.deque()
-            t0 = time.perf_counter()
-            for _ in range(n_iters):
-                pending.append(fwd(params, state, x))
-                if len(pending) > 2:
+        x = rng.standard_normal((batch, FIXED_LEN)).astype(np.float32)
+        x = jax.device_put(x)
+        for attempt in range(2):
+            try:
+                # compile + warmup (first compile can take min. remotely)
+                float(fwd(params, state, x))
+                float(fwd(params, state, x))
+                n_iters = max(4, int(4096 / batch))
+                import collections
+                pending = collections.deque()
+                t0 = time.perf_counter()
+                for _ in range(n_iters):
+                    pending.append(fwd(params, state, x))
+                    if len(pending) > 2:
+                        float(pending.popleft())
+                while pending:
                     float(pending.popleft())
-            while pending:
-                float(pending.popleft())
-            dt = time.perf_counter() - t0
-            value = batch * n_iters / dt
-            batch_used = batch
-            break
-        except Exception as e:  # OOM at this batch — try smaller
-            msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
-                continue
-            raise
+                dt = time.perf_counter() - t0
+                value = batch * n_iters / dt
+                batch_used = batch
+                break
+            except Exception as e:
+                msg = str(e)
+                if conf.pop("use_fused_frontend", None):
+                    # fused-frontend trouble: rebuild on the pure XLA
+                    # path and retry this batch size once
+                    model = build_model(conf)
+                    fwd = jax.jit(forward)
+                    continue
+                if ("RESOURCE_EXHAUSTED" in msg
+                        or "out of memory" in msg.lower()
+                        or "remote_compile" in msg):
+                    break           # try a smaller batch
+                raise
     if value is None:
         print(json.dumps({"metric": "aasist_eval_throughput", "value": 0,
                           "unit": "utt/s/chip", "vs_baseline": 0,

@@ -60,7 +60,12 @@ def main():
         conf = dict(BASE)
         if var != "none":
             for f in var.split(","):
-                conf[f.strip()] = True
+                f = f.strip()
+                if "=" in f:
+                    k, v = f.split("=")
+                    conf[k] = int(v)
+                else:
+                    conf[f] = True
         model = build_model(conf)
         params, state = model.init(jax.random.PRNGKey(0))
         params, state = cast(params), cast(state)
