@@ -1,0 +1,247 @@
+"""Cast-point ladder for the fused_stack block0 bf16 epilogue.
+
+docs/PERF.md round-2 item 2: the fused frontend+block0 kernel is
+VMEM-bandwidth-bound, dominated by the f32 conv1 dot result; casting it
+to bf16 right after the bias add (the `bf16epi` flag of
+probe_b0_constructs.py) is rejected by the remote compiler with an
+opaque HTTP 500.  This probe walks the cast point down the epilogue to
+find the latest-compiling / fastest variant:
+
+  base   f32 through bias+selu+mask+reshape, bf16 only at scratch stores
+  vA     bf16 immediately after bias add (everything downstream bf16)
+  vB     selu in f32, bf16 before mask+reshape
+  vD     selu in f32, bf16 between selu and reshape
+  vF     like vA but selu's exp computed via f32 upcast
+
+Compiling variants are timed with the chained-scan methodology at B=64.
+
+Usage: python tools/probe_b0_epi.py
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from aasist_tpu.models.layers import sinc_filterbank  # noqa: E402
+from aasist_tpu.ops import fused_stack as FS  # noqa: E402
+from aasist_tpu.registry import build_model  # noqa: E402
+
+
+def _kernel(zt, w1, sb1, w0, wm1, wp1, b2, out_ref, a1_scr, a20_scr,
+            a21_scr, am10_scr, am11_scr, ap10_scr, ap11_scr, ds_scr,
+            s_scr, *, g, u, c, t_z, variant):
+    uy = a1_scr.shape[3]
+    if uy > u + 2:
+        a1_scr[:, :, :, u + 2:uy] = jnp.zeros(
+            (18, g, 32, uy - u - 2), a1_scr.dtype)
+    for jz in range(3):
+        for mzp in range(3):
+            for df in range(2):
+                row = (jz * 3 + mzp) * 2 + df
+                a1_scr[row, :, :, 0:u + 2] = \
+                    zt[0, :, jz * 32 + df:jz * 32 + df + 32,
+                       mzp:mzp + u + 2]
+
+    y = lax.dot_general(w1[...], a1_scr[...], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+
+    j_tile = pl.program_id(1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, 1, uy), 3)
+    jy = lax.broadcasted_iota(jnp.int32, (3, 1, 1, 1), 0)
+    uu = j_tile * u - 1 + col
+    valid = ((uu >= 0) & (3 * uu + jy < t_z) & (col < u + 2))
+
+    if variant == "vA":
+        y = y.astype(jnp.bfloat16) + sb1[...].astype(jnp.bfloat16)
+        y1 = FS._selu(y[:3 * c].reshape(3, c, g, 32, uy))
+        y1 = y1 * valid[:, None].astype(y1.dtype)
+        y1 = y1.reshape(3 * c, g, 32, uy)
+        ds = y[3 * c:, :, 0:24, 1:1 + u]
+    elif variant == "vF":
+        y = y.astype(jnp.bfloat16) + sb1[...].astype(jnp.bfloat16)
+        yb = y[:3 * c].reshape(3, c, g, 32, uy)
+        zero = jnp.zeros((), jnp.bfloat16)
+        pos = jnp.maximum(yb, zero)
+        ex = jnp.exp(jnp.minimum(yb, zero).astype(jnp.float32))
+        y1 = (FS._SELU_L * pos
+              + jnp.bfloat16(FS._SELU_L * FS._SELU_A)
+              * (ex - 1.0).astype(jnp.bfloat16))
+        y1 = y1 * valid[:, None].astype(y1.dtype)
+        y1 = y1.reshape(3 * c, g, 32, uy)
+        ds = y[3 * c:, :, 0:24, 1:1 + u]
+    elif variant == "vB":
+        y = y + sb1[...]
+        y1f = FS._selu(y[:3 * c])
+        y1 = y1f.astype(jnp.bfloat16).reshape(3, c, g, 32, uy)
+        y1 = y1 * valid[:, None].astype(y1.dtype)
+        y1 = y1.reshape(3 * c, g, 32, uy)
+        ds = y[3 * c:, :, 0:24, 1:1 + u].astype(jnp.bfloat16)
+    elif variant == "vD":
+        y = y + sb1[...]
+        y1 = FS._selu(y[:3 * c].reshape(3, c, g, 32, uy))
+        y1 = (y1 * valid[:, None].astype(y1.dtype)).astype(jnp.bfloat16)
+        y1 = y1.reshape(3 * c, g, 32, uy)
+        ds = y[3 * c:, :, 0:24, 1:1 + u].astype(jnp.bfloat16)
+    else:  # base
+        y = y + sb1[...]
+        y1 = FS._selu(y[:3 * c].reshape(3, c, g, 32, uy))
+        y1 = y1 * valid[:, None].astype(y1.dtype)
+        y1 = y1.reshape(3 * c, g, 32, uy).astype(jnp.bfloat16)
+        ds = y[3 * c:, :, 0:24, 1:1 + u].astype(jnp.bfloat16)
+
+    if variant in ("vA", "vF"):
+        y1 = y1.astype(jnp.bfloat16)
+        ds = ds.astype(jnp.bfloat16)
+
+    a20_scr[...] = y1[:, :, 0:24, 1:1 + u]
+    a21_scr[...] = y1[:, :, 1:25, 1:1 + u]
+    am10_scr[...] = y1[2 * c:3 * c, :, 0:24, 0:u]
+    am11_scr[...] = y1[2 * c:3 * c, :, 1:25, 0:u]
+    ap10_scr[...] = y1[0:c, :, 0:24, 2:2 + u]
+    ap11_scr[...] = y1[0:c, :, 1:25, 2:2 + u]
+    ds_scr[...] = ds
+
+    part0 = lax.dot_general(w0[0], a20_scr[...], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    part1 = lax.dot_general(w0[1], a21_scr[...], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    pm = (lax.dot_general(wm1[0], am10_scr[...], (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+          + lax.dot_general(wm1[1], am11_scr[...],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+    pp = (lax.dot_general(wp1[0], ap10_scr[...], (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+          + lax.dot_general(wp1[1], ap11_scr[...],
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+    s = part0 + part1
+    s = s + jnp.pad(pm, ((0, 2 * c), (0, 0), (0, 0), (0, 0)))
+    s = s + jnp.pad(pp, ((2 * c, 0), (0, 0), (0, 0), (0, 0)))
+
+    m = None
+    for r in range(3):
+        term = (s[r * c:(r + 1) * c]
+                + ds_scr[r * c:(r + 1) * c].astype(jnp.float32))
+        m = term if m is None else jnp.maximum(m, term)
+    pooled = m + b2[...][0:c]
+
+    for gg in range(g):
+        out_ref[gg] = pooled[:, gg, 0:23, :].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def run(zt, w1, sb1, w0, wm1, wp1, b2, g, u, c, t_z, variant):
+    n_tiles, b = zt.shape[0], zt.shape[1]
+    uy = u + 2 + (-(u + 2) % 128)
+    kernel = functools.partial(_kernel, g=g, u=u, c=c, t_z=t_z,
+                               variant=variant)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g, n_tiles),
+        in_specs=[pl.BlockSpec((1, g, 104, zt.shape[3]),
+                               lambda bb, jj: (jj, bb, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec((g, c, 23, u),
+                               lambda bb, jj: (bb, 0, 0, jj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, 23, n_tiles * u), zt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((18, g, 32, uy), zt.dtype),
+            pltpu.VMEM((3 * c, g, 24, u), zt.dtype),
+            pltpu.VMEM((3 * c, g, 24, u), zt.dtype),
+            pltpu.VMEM((c, g, 24, u), zt.dtype),
+            pltpu.VMEM((c, g, 24, u), zt.dtype),
+            pltpu.VMEM((c, g, 24, u), zt.dtype),
+            pltpu.VMEM((c, g, 24, u), zt.dtype),
+            pltpu.VMEM((3 * c, g, 24, u), zt.dtype),
+            pltpu.VMEM((3 * c, g, 24, u), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(zt, w1, sb1, w0, wm1, wp1, b2)
+
+
+def main():
+    model = build_model({"architecture": "AASIST", "first_conv": 128,
+        "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+        "gat_dims": [64, 32], "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+        "temperatures": [2.0, 2.0, 100.0, 100.0], "dtype": "bfloat16"})
+    params, state = model.init(jax.random.PRNGKey(0))
+    bank = sinc_filterbank(70, 129, 16000).astype(np.float32)
+    tonp = lambda t: jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float32), t)
+    fsp = FS.FusedStackParams(bank, tonp(params["first_bn"]),
+                              tonp(state["first_bn"]),
+                              tonp(params["encoder"][0]),
+                              tonp(state["encoder"][0]))
+    t_z = (64600 - 129 + 1) // 3
+    rng = np.random.default_rng(0)
+    u0 = 256
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    nt2 = -(-(t_z // 3) // u0)
+    zt = jax.device_put(rng.standard_normal(
+        (nt2, B, 104, u0 + 4)).astype(np.float32)).astype(jnp.bfloat16)
+
+    ok = {}
+    ref = None
+    names = sys.argv[2:] or ["base", "vA", "vB", "vD", "vF"]
+    for name in names:
+        try:
+            out = run(zt, fsp.w1, fsp.sb1, fsp.w0, fsp.wm1, fsp.wp1,
+                      fsp.b2, 1, u0, 32, t_z, name)
+            v = np.asarray(out[0, :, :, :64], np.float32)
+            if ref is None:
+                ref = v
+                err = 0.0
+            else:
+                err = float(np.max(np.abs(v - ref))
+                            / (np.max(np.abs(ref)) + 1e-9))
+            print(f"{name:5s}: OK  rel-err vs base {err:.2e}", flush=True)
+            ok[name] = True
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:5s}: FAIL {str(e)[:100]}", flush=True)
+
+    # chained timing for compiling variants
+    def chain(variant, k):
+        @jax.jit
+        def fn(z):
+            def body(c, _):
+                out = run(z + c.astype(z.dtype), fsp.w1, fsp.sb1, fsp.w0,
+                          fsp.wm1, fsp.wp1, fsp.b2, 1, u0, 32, t_z,
+                          variant)
+                return jnp.max(out.astype(jnp.float32)) * 1e-20, ()
+            c, _ = lax.scan(body, jnp.float32(0.0), None, length=k)
+            return c
+        return fn
+
+    for name in ok:
+        try:
+            f1, f5 = chain(name, 1), chain(name, 5)
+            float(f1(zt)); float(f5(zt))
+            def med(f):
+                ts = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    float(f(zt))
+                    ts.append(time.perf_counter() - t0)
+                return sorted(ts)[len(ts) // 2]
+            per = (med(f5) - med(f1)) / 4
+            print(f"{name:5s}: {1e3 * per:7.2f} ms/op (B={B})", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:5s}: TIME-FAIL {str(e)[:100]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
