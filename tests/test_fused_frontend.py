@@ -79,3 +79,25 @@ def test_model_flag_wires_kernel(rng):
     (_, got), _ = m1.apply(params, state, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_model_flag_wires_kernel_rawgat(rng):
+    """RawGAT-ST shares the frontend chain; the flag must be a no-op
+    numerically there too (reference RawNetGatSpoofST.py:324-334)."""
+    from aasist_tpu.registry import build_model
+
+    conf = {
+        "architecture": "RawNetGatSpoofST",
+        "first_conv": 128,
+        "filts": [70, [1, 8], [8, 8], [8, 12], [12, 12]],
+    }
+    m0 = build_model(conf)
+    m1 = build_model({**conf, "use_fused_frontend": True})
+    params, state = m0.init(jax.random.PRNGKey(0))
+    # full eval length: RawGAT's proj_T/proj_S Linears are sized to the
+    # 64,600-sample node counts (reference RawNetGatSpoofST.py:335-350)
+    x = rng.standard_normal((1, 64600)).astype(np.float32) * 0.05
+    (_, ref), _ = m0.apply(params, state, x, train=False)
+    (_, got), _ = m1.apply(params, state, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
