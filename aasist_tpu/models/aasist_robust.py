@@ -78,6 +78,8 @@ class AasistRobustModel:
                                tuple(self.filts[3]), tuple(self.filts[4]),
                                tuple(self.filts[4]), tuple(self.filts[4])]
         self.compute_dtype = jnp.dtype(model_config.get("dtype", "float32"))
+        self.use_fused_frontend = bool(model_config.get(
+            "use_fused_frontend", False))
 
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
         ks = iter(jax.random.split(rng, 32))
@@ -132,11 +134,20 @@ class AasistRobustModel:
             aug = rngs.next()
             if aug is not None:
                 bank = L.freq_mask_filterbank(aug, bank)
-        h = L.sinc_frontend(bank, x)
-        h = nn.max_pool(jnp.abs(h)[:, None], (3, 3))
-        h, new_state["first_bn"] = nn.batch_norm(
-            params["first_bn"], state["first_bn"], h, axis=1, train=train)
-        h = jax.nn.selu(h)
+        if self.use_fused_frontend and not train:
+            # same eval chain as AASIST (noise/denoise are train-only), so
+            # the fused Pallas frontend drops in; see models/aasist.py
+            from aasist_tpu.ops.fused_frontend import fused_frontend
+            h = fused_frontend(x, bank, params["first_bn"],
+                               state["first_bn"])
+            new_state["first_bn"] = state["first_bn"]
+        else:
+            h = L.sinc_frontend(bank, x)
+            h = nn.max_pool(jnp.abs(h)[:, None], (3, 3))
+            h, new_state["first_bn"] = nn.batch_norm(
+                params["first_bn"], state["first_bn"], h, axis=1,
+                train=train)
+            h = jax.nn.selu(h)
 
         enc_s = []
         e = h

@@ -101,3 +101,26 @@ def test_model_flag_wires_kernel_rawgat(rng):
     (_, got), _ = m1.apply(params, state, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_model_flag_wires_kernel_robust(rng):
+    """AASIST-Robust's eval chain equals AASIST's frontend (noise and
+    denoise branches are train-only) — flag must be a numeric no-op."""
+    from aasist_tpu.registry import build_model
+
+    conf = {
+        "architecture": "AASIST_Robust",
+        "first_conv": 128,
+        "filts": [70, [1, 8], [8, 8], [8, 12], [12, 12]],
+        "gat_dims": [12, 16],
+        "pool_ratios": [0.4, 0.5, 0.7, 0.5],
+        "temperatures": [2.0, 2.0, 100.0, 100.0],
+    }
+    m0 = build_model(conf)
+    m1 = build_model({**conf, "use_fused_frontend": True})
+    params, state = m0.init(jax.random.PRNGKey(0))
+    x = rng.standard_normal((2, 16000)).astype(np.float32) * 0.05
+    (_, ref), _ = m0.apply(params, state, x, train=False)
+    (_, got), _ = m1.apply(params, state, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
