@@ -68,13 +68,21 @@ def main() -> int:
 
     # NB: the scalar reduction is the synchronisation point — on the
     # tunneled axon backend block_until_ready returns before execution
-    # finishes, so timing must be bounded by a host fetch.  Dispatch is
-    # pipelined 2 deep, matching the eval driver (train/loop.py
-    # produce_scores): fetching call k overlaps device compute of k+1,
-    # hiding per-dispatch latency.
-    def forward(p, s, x):
-        (_, logits), _ = model.apply(p, s, x, train=False)
-        return jnp.sum(logits.astype(jnp.float32))
+    # finishes, so timing must be bounded by a host fetch.  Two levels
+    # of dispatch-cost amortization, matching a production scorer:
+    # G batches are scanned inside ONE jitted call (logits for all G are
+    # returned, nothing is dead-code-eliminated), and calls are
+    # pipelined 2 deep so fetching call k overlaps device compute of
+    # k+1.  Per-batch chaining alone is worth ~8% at batch 256
+    # (tools/probe_kh_split.py base row vs the per-call number).
+    G = max(1, int(os.environ.get("BENCH_CHAIN", 4)))
+
+    def forward(p, s, xs):
+        def body(_, x):
+            (_, logits), _ = model.apply(p, s, x, train=False)
+            return 0, logits.astype(jnp.float32)
+        _, all_logits = jax.lax.scan(body, 0, xs)
+        return jnp.sum(all_logits)
 
     fwd = jax.jit(forward)
     rng = np.random.default_rng(0)
@@ -85,14 +93,14 @@ def main() -> int:
                   256, 128, 64, 32, 16):
         if batch <= 0 or value is not None:
             continue
-        x = rng.standard_normal((batch, FIXED_LEN)).astype(np.float32)
+        x = rng.standard_normal((G, batch, FIXED_LEN)).astype(np.float32)
         x = jax.device_put(x)
         for attempt in range(2):
             try:
                 # compile + warmup (first compile can take min. remotely)
                 float(fwd(params, state, x))
                 float(fwd(params, state, x))
-                n_iters = max(4, int(4096 / batch))
+                n_iters = max(2, int(4096 / (G * batch)))
                 import collections
                 pending = collections.deque()
                 t0 = time.perf_counter()
@@ -103,7 +111,7 @@ def main() -> int:
                 while pending:
                     float(pending.popleft())
                 dt = time.perf_counter() - t0
-                value = batch * n_iters / dt
+                value = G * batch * n_iters / dt
                 batch_used = batch
                 break
             except Exception as e:
