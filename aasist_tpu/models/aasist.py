@@ -101,6 +101,13 @@ class AasistModel:
         # gather-class maxpool and runs conv2 at 3x output channels
         self.use_poly_blocks = bool(model_config.get(
             "use_poly_blocks", False))
+        # eval-only augmented-channel form of strongly channel-expanding
+        # downsample blocks (the downsample conv rides inside conv2 as
+        # identity input channels, killing its full-size HBM round-trip;
+        # layers.residual_block_apply_aug).  Only applied where the
+        # added input channels are cheap: 4*C_in <= C_out (block0).
+        self.use_aug_blocks = bool(model_config.get(
+            "use_aug_blocks", False))
 
         # rematerialize encoder blocks in the backward pass
         # (jax.checkpoint): the early blocks' activations are
@@ -113,6 +120,21 @@ class AasistModel:
         self.block_channels = [tuple(self.filts[1]), tuple(self.filts[2]),
                                tuple(self.filts[3]), tuple(self.filts[4]),
                                tuple(self.filts[4]), tuple(self.filts[4])]
+
+    def _aug_block_ok(self, i: int, bp) -> bool:
+        """Whether block ``i`` takes the augmented-channel eval path.
+
+        Restricted to strongly channel-expanding downsample blocks
+        (4*C_in <= C_out, i.e. block0's 1->32): there the identity
+        channels folded into conv2 cost <= +25% conv2 FLOPs against the
+        ~16 GB/batch-256 HBM round-trip they remove.  For 32->64 the
+        +50% FLOPs outweigh the saving (tools/probe_aug_channel.py).
+        """
+        if not (self.use_aug_blocks and self.encoder_type == "residual"
+                and "conv_downsample" in bp):
+            return False
+        cin, cout = self.block_channels[i]
+        return 4 * cin <= cout
 
     # ------------------------------------------------------------- init
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
@@ -240,6 +262,10 @@ class AasistModel:
                 b = e.shape[0]
 
                 def _blk0(h):
+                    if self._aug_block_ok(0, params["encoder"][0]):
+                        return L.residual_block_apply_aug(
+                            params["encoder"][0], state["encoder"][0], h,
+                            first=True)
                     out, _ = L.residual_block_apply(
                         params["encoder"][0], state["encoder"][0], h,
                         first=True, train=False)
@@ -252,6 +278,11 @@ class AasistModel:
                 start_block = 1
             for i, bp in enumerate(params["encoder"]):
                 if i < start_block:
+                    continue
+                if not train and self._aug_block_ok(i, bp):
+                    e = L.residual_block_apply_aug(
+                        bp, state["encoder"][i], e, first=(i == 0))
+                    enc_s.append(state["encoder"][i])
                     continue
                 if (self.use_poly_blocks and not train
                         and self.encoder_type == "residual"

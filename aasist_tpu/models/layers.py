@@ -344,6 +344,89 @@ def residual_block_apply_poly(p: Params, s: State, x: jnp.ndarray, *,
     return pooled
 
 
+def residual_block_apply_aug(p: Params, s: State, x: jnp.ndarray, *,
+                             first: bool = False) -> jnp.ndarray:
+    """Eval-only single-pipeline form of a *downsample* residual block.
+
+    ``y = conv2(selu(bn2(conv1(x)))) + conv_ds(x)`` forces XLA to
+    materialise conv_ds's full-size output in HBM (two convolutions
+    cannot fuse into one add) — at batch 256 block0 that is ~16 GB of
+    round-trip traffic.  Here the downsample rides INSIDE conv2 as
+    ``C_in`` extra input channels (tools/probe_aug_channel.py: 11%
+    faster than the standard block on the block0 geometry, B=128):
+
+      * conv1_aug is (C_in -> C_in + C_out): the first C_in output
+        channels are an exact identity copy of x (a delta tap at kernel
+        position (1,1) under the block's ((1,1),(1,1)) padding), the
+        rest are conv1.
+      * bias/bn-affine/selu apply to the conv1 channels only; the
+        identity channels pass through raw (elementwise select, fuses).
+      * conv2_aug is (C_in + C_out -> C_out2): the identity channels
+        carry conv_ds's (1,3) taps in the kH=0 row (the identity
+        channel at row h+0 is exactly x[h], matching conv_ds's per-row
+        geometry), the rest are conv2.  Bias = b2 + b_ds.
+
+    The residual add disappears and the trailing maxpool fuses into the
+    single conv2_aug consumer.  Extra FLOPs: (C_in+C_out)/C_out input
+    channels on conv2 — +3% for block0 (1 -> 32).  Numerics: same
+    result up to dot accumulation order (the ds contribution sums
+    inside the conv2 dot); exact-parity class as ``use_poly_blocks``.
+
+    Reference geometry: Residual_block, RawNetGatSpoofST.py:225-278
+    (conv1 (2,3) pad (1,1); conv2 (2,3) pad (0,1); conv_downsample
+    (1,3) pad (0,1); MaxPool2d((1,3))).  ``first`` kept for signature
+    symmetry — bn1 is a no-op in eval (reference quirk, see
+    ``residual_block_apply``).
+    """
+    del first
+    w1 = p["conv1"]["weight"]                       # (C_out, C_in, 2, 3)
+    w2 = p["conv2"]["weight"]                       # (C_out2, C_out, 2, 3)
+    wd = p["conv_downsample"]["weight"]             # (C_out2, C_in, 1, 3)
+    co1, ci = w1.shape[0], w1.shape[1]
+    co2 = w2.shape[0]
+    dt = w1.dtype
+    naug = ci + co1
+
+    w1a = jnp.zeros((naug, ci, 2, 3), dt)
+    idx = jnp.arange(ci)
+    w1a = w1a.at[idx, idx, 1, 1].set(jnp.asarray(1, dt))
+    w1a = w1a.at[ci:].set(w1)
+    z = lax.conv_general_dilated(
+        x, w1a, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    # channel-wise epilogue: identity rows untouched, conv1 rows get
+    # bias + eval-mode bn2 affine + selu
+    zeros_ci = jnp.zeros((ci,), dt)
+    b1 = p["conv1"].get("bias")
+    b1a = jnp.concatenate([zeros_ci, b1.astype(dt) if b1 is not None
+                           else jnp.zeros((co1,), dt)])
+    bn, bs = p["bn2"], s["bn2"]
+    scale = (bn["weight"] * lax.rsqrt(bs["var"] + nn.BN_EPS)).astype(dt)
+    offset = (bn["bias"] - bn["weight"] * lax.rsqrt(bs["var"] + nn.BN_EPS)
+              * bs["mean"]).astype(dt)
+    sa = jnp.concatenate([jnp.ones((ci,), dt), scale])
+    oa = jnp.concatenate([zeros_ci, offset])
+    zb = z + b1a[None, :, None, None]
+    za = sa[None, :, None, None] * zb + oa[None, :, None, None]
+    cmask = (jnp.arange(naug) < ci)[None, :, None, None]
+    z = jnp.where(cmask, zb, jax.nn.selu(za))
+
+    w2a = jnp.zeros((co2, naug, 2, 3), dt)
+    w2a = w2a.at[:, :ci, 0:1, :].set(wd)
+    w2a = w2a.at[:, ci:].set(w2)
+    y = lax.conv_general_dilated(
+        z, w2a, (1, 1), ((0, 0), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    b2 = p["conv2"].get("bias")
+    bd = p["conv_downsample"].get("bias")
+    if b2 is not None or bd is not None:
+        b2a = ((b2.astype(dt) if b2 is not None else 0)
+               + (bd.astype(dt) if bd is not None else 0))
+        y = y + b2a[None, :, None, None]
+    return nn.max_pool(y, (1, 3))
+
+
 
 # =====================================================================
 # SE layer + Res2Net block (AASIST2 encoder)

@@ -48,6 +48,11 @@ def main() -> int:
     # the XLA path below
     if os.environ.get("BENCH_FUSED_FE", "1") != "0" and dtype == "bf16":
         conf["use_fused_frontend"] = True
+    # augmented-channel block0 (downsample conv folded into conv2 as
+    # identity input channels): ~11% on the block, parity-tested
+    # (tests/test_eval_variants.py); BENCH_AUG_BLOCKS=0 opts out
+    if os.environ.get("BENCH_AUG_BLOCKS", "1") != "0":
+        conf["use_aug_blocks"] = True
     model = build_model(conf)
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -75,7 +80,7 @@ def main() -> int:
     # pipelined 2 deep so fetching call k overlaps device compute of
     # k+1.  Per-batch chaining alone is worth ~8% at batch 256
     # (tools/probe_kh_split.py base row vs the per-call number).
-    G = max(1, int(os.environ.get("BENCH_CHAIN", 4)))
+    G = max(1, int(os.environ.get("BENCH_CHAIN", 16)))
 
     def forward(p, s, xs):
         def body(_, x):
@@ -95,7 +100,7 @@ def main() -> int:
             continue
         x = rng.standard_normal((G, batch, FIXED_LEN)).astype(np.float32)
         x = jax.device_put(x)
-        for attempt in range(2):
+        for attempt in range(3):
             try:
                 # compile + warmup (first compile can take min. remotely)
                 float(fwd(params, state, x))
@@ -116,9 +121,10 @@ def main() -> int:
                 break
             except Exception as e:
                 msg = str(e)
-                if conf.pop("use_fused_frontend", None):
-                    # fused-frontend trouble: rebuild on the pure XLA
-                    # path and retry this batch size once
+                if (conf.pop("use_fused_frontend", None)
+                        or conf.pop("use_aug_blocks", None)):
+                    # perf-variant trouble: drop one flag, rebuild on
+                    # the plainer path and retry this batch size
                     model = build_model(conf)
                     fwd = jax.jit(forward)
                     continue

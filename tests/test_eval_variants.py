@@ -48,6 +48,54 @@ def test_poly_blocks_match(setup):
     assert np.max(np.abs(got - ref)) < 2e-4 * max(1.0, np.abs(ref).max())
 
 
+def test_aug_blocks_match(setup):
+    params, state, x, ref = setup
+    conf = dict(BASE)
+    conf["use_aug_blocks"] = True
+    got = _logits(conf, params, state, x)
+    assert np.max(np.abs(got - ref)) < 2e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_aug_block_layer_exact():
+    """Layer-level f32 parity of the augmented downsample block."""
+    from aasist_tpu.models import layers as L
+
+    rng = np.random.default_rng(7)
+    for ci, co in ((1, 8), (2, 16)):
+        p = {
+            "conv1": {"weight": jnp.asarray(
+                rng.standard_normal((co, ci, 2, 3)) * 0.3, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal((co,)) * 0.1,
+                                    jnp.float32)},
+            "conv2": {"weight": jnp.asarray(
+                rng.standard_normal((co, co, 2, 3)) * 0.2, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal((co,)) * 0.1,
+                                    jnp.float32)},
+            "conv_downsample": {"weight": jnp.asarray(
+                rng.standard_normal((co, ci, 1, 3)) * 0.3, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal((co,)) * 0.1,
+                                    jnp.float32)},
+            "bn1": {"weight": jnp.ones((ci,)), "bias": jnp.zeros((ci,))},
+            "bn2": {"weight": jnp.asarray(
+                1 + 0.2 * rng.standard_normal((co,)), jnp.float32),
+                "bias": jnp.asarray(0.1 * rng.standard_normal((co,)),
+                                    jnp.float32)},
+        }
+        s = {
+            "bn1": {"mean": jnp.zeros((ci,)), "var": jnp.ones((ci,))},
+            "bn2": {"mean": jnp.asarray(
+                0.1 * rng.standard_normal((co,)), jnp.float32),
+                "var": jnp.asarray(
+                    1.0 + np.abs(rng.standard_normal((co,))),
+                    jnp.float32)},
+        }
+        x = jnp.asarray(rng.standard_normal((2, ci, 23, 96)), jnp.float32)
+        ref, _ = L.residual_block_apply(p, s, x, first=False, train=False)
+        got = L.residual_block_apply_aug(p, s, x, first=False)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-4, (ci, co, err)
+
+
 def test_b0_chunks_match(setup):
     params, state, x, ref = setup
     conf = dict(BASE)
