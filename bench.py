@@ -42,18 +42,31 @@ def main() -> int:
         "temperatures": [2.0, 2.0, 100.0, 100.0],
         "dtype": "bfloat16" if dtype == "bf16" else "float32",
     }
-    # fused Pallas sinc frontend + lax.map-chunked block 0: measured
-    # ~1% over the pure XLA path at batch 256 (docs/PERF.md round 2);
-    # BENCH_FUSED_FE=0 opts out, and any compile failure falls back to
-    # the XLA path below
-    if os.environ.get("BENCH_FUSED_FE", "1") != "0" and dtype == "bf16":
-        conf["use_fused_frontend"] = True
-    # augmented-channel block0 (downsample conv folded into conv2 as
-    # identity input channels): ~11% on the block, parity-tested
-    # (tests/test_eval_variants.py); BENCH_AUG_BLOCKS=0 opts out
-    if os.environ.get("BENCH_AUG_BLOCKS", "1") != "0":
-        conf["use_aug_blocks"] = True
-    model = build_model(conf)
+    # Per-batch model flags (docs/PERF.md round 2):
+    #   * batch 128 is the sweet spot — at 256 the program sits on the
+    #     HBM edge and XLA schedules remat/copy fusions (~0.63 vs
+    #     ~0.57 ms/utt), so 128 is tried FIRST;
+    #   * the fused Pallas sinc frontend + lax.map-chunked block 0 only
+    #     pays at batch >= 256, where it is what makes the program fit —
+    #     at 128 the 2-way chunking costs far more than the kernel saves;
+    #   * augmented-channel block0 (downsample conv folded into conv2 as
+    #     identity input channels) is parity-tested and neutral-to-
+    #     positive (tests/test_eval_variants.py).
+    # BENCH_FUSED_FE=0 / BENCH_AUG_BLOCKS=0 opt out; compile failures
+    # fall back flag-by-flag, then to smaller batches.
+    want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
+                     and dtype == "bf16")
+    want_aug = os.environ.get("BENCH_AUG_BLOCKS", "1") != "0"
+
+    def build_for_batch(batch):
+        c = dict(conf)
+        if want_fused_fe and batch >= 256:
+            c["use_fused_frontend"] = True
+        if want_aug:
+            c["use_aug_blocks"] = True
+        return c, build_model(c)
+
+    conf0, model = build_for_batch(0)
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "checkpoints", "AASIST.npz")
@@ -95,9 +108,11 @@ def main() -> int:
     value = None
     batch_used = None
     for batch in (int(os.environ.get("BENCH_BATCH", 0)),
-                  256, 128, 64, 32, 16):
+                  128, 256, 64, 32, 16):
         if batch <= 0 or value is not None:
             continue
+        bconf, model = build_for_batch(batch)
+        fwd = jax.jit(forward)
         x = rng.standard_normal((G, batch, FIXED_LEN)).astype(np.float32)
         x = jax.device_put(x)
         for attempt in range(3):
@@ -121,11 +136,11 @@ def main() -> int:
                 break
             except Exception as e:
                 msg = str(e)
-                if (conf.pop("use_fused_frontend", None)
-                        or conf.pop("use_aug_blocks", None)):
+                if (bconf.pop("use_fused_frontend", None)
+                        or bconf.pop("use_aug_blocks", None)):
                     # perf-variant trouble: drop one flag, rebuild on
                     # the plainer path and retry this batch size
-                    model = build_model(conf)
+                    model = build_model(bconf)
                     fwd = jax.jit(forward)
                     continue
                 if ("RESOURCE_EXHAUSTED" in msg
