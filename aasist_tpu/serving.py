@@ -27,10 +27,13 @@ class Scorer:
     One jit specialization (fixed batch x fixed window); ragged inputs are
     padded by row repetition and masked out.  ``bf16=True`` runs the conv
     trunk in bfloat16 (the TPU deployment default; EER-neutral, see
-    docs/PERF.md).
+    docs/PERF.md).  The default batch of 128 is the measured v5e sweet
+    spot for the AASIST forward — large enough to saturate the MXU,
+    small enough that XLA schedules without HBM-pressure remat/copies
+    (docs/PERF.md headline table).
     """
 
-    def __init__(self, model, params, model_state, *, batch_size: int = 64,
+    def __init__(self, model, params, model_state, *, batch_size: int = 128,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
                  use_fused_encoder: Optional[bool] = None):
         import copy
