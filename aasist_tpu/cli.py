@@ -143,8 +143,12 @@ def main(argv=None) -> int:
         print(f"Model loaded : {weights}")
         print("Start evaluation...")
         eval_score_path = run_dir / cfg.eval_output
+        import jax
+        eval_chain = int(cfg.extras.get(
+            "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
         evaluate_to_file(model, params, model_state, loaders.eval,
-                         loaders.eval_trial_meta, eval_score_path)
+                         loaders.eval_trial_meta, eval_score_path,
+                         chain=eval_chain)
         eer, tdcf = calculate_tdcf_eer(
             eval_score_path, cfg.asv_scores(), run_dir / "t-DCF_EER.txt")
         # reference writes the report twice on the eval-only path

@@ -244,10 +244,30 @@ def make_eval_step(model):
     return jax.jit(fwd)
 
 
+def make_chained_eval_step(model, chain: int):
+    """Eval step over ``chain`` stacked batches in ONE dispatched call.
+
+    ``x`` is (chain, B, L); a lax.scan runs the forward per batch inside
+    one jitted program, so per-dispatch overhead (large on tunneled TPU
+    backends — docs/PERF.md methodology) is paid once per ``chain``
+    batches instead of once per batch.  Worth ~5-8% on top of 2-deep
+    pipelining at batch 128 (bench.py's G-chaining, same mechanism).
+    """
+    def fwd(params, model_state, xs):
+        def body(_, x):
+            (_, logits), _ = model.apply(params, model_state, x,
+                                         train=False)
+            return 0, logits
+        _, all_logits = jax.lax.scan(body, 0, xs)
+        return all_logits                       # (chain, B, n_classes)
+
+    return jax.jit(fwd)
+
+
 # ------------------------------------------------------------- evaluation
 def produce_scores(model, params, model_state, batcher,
-                   eval_step=None, pipeline_depth: int = 2
-                   ) -> Tuple[list, list]:
+                   eval_step=None, pipeline_depth: int = 2,
+                   chain: int = 1) -> Tuple[list, list]:
     """Run batched inference; returns (utt_ids, bonafide scores).
 
     Equivalent of produce_evaluation_file's loop (main.py:364-380); the
@@ -256,8 +276,52 @@ def produce_scores(model, params, model_state, batcher,
     compute of batch k+1 (and host decode of k+2 via the batcher's own
     prefetch) — this hides per-call dispatch latency, which is large on
     tunneled backends.
+
+    ``chain`` > 1 additionally stacks that many same-shape batches into
+    ONE dispatched call (``make_chained_eval_step``); the final partial
+    group is padded by repeating its last batch and the padding rows are
+    dropped on drain.  With ``chain`` > 1 a provided ``eval_step`` must
+    be a CHAINED step over (chain, B, L) (from
+    ``make_chained_eval_step`` — pass it when calling repeatedly, e.g.
+    per epoch, to avoid re-jitting).
     """
     import collections
+
+    if chain > 1:
+        chained_step = (eval_step if eval_step is not None
+                        else make_chained_eval_step(model, chain))
+        ids, scores = [], []
+        pending = collections.deque()
+
+        def drain_group():
+            logits, utt_lists = pending.popleft()
+            arr = np.asarray(logits)            # (chain, B, n_classes)
+            for g, utts in enumerate(utt_lists):
+                ids.extend(utts)
+                scores.extend(arr[g, :len(utts), 1].tolist())
+
+        group_x, group_u = [], []
+
+        def dispatch():
+            gx = group_x + [group_x[-1]] * (chain - len(group_x))
+            xs = jnp.stack(gx)
+            pending.append((chained_step(params, model_state, xs),
+                            list(group_u)))
+            group_x.clear()
+            group_u.clear()
+
+        for x, utts, n_real in batcher:
+            group_x.append(x)
+            group_u.append(utts)
+            if len(group_x) == chain:
+                dispatch()
+                if len(pending) > pipeline_depth:
+                    drain_group()
+        if group_x:
+            dispatch()
+        while pending:
+            drain_group()
+        return ids, scores
 
     if eval_step is None:
         eval_step = make_eval_step(model)
@@ -280,9 +344,9 @@ def produce_scores(model, params, model_state, batcher,
 
 
 def evaluate_to_file(model, params, model_state, batcher, trial_meta,
-                     score_path, eval_step=None) -> None:
+                     score_path, eval_step=None, chain: int = 1) -> None:
     ids, scores = produce_scores(model, params, model_state, batcher,
-                                 eval_step)
+                                 eval_step, chain=chain)
     write_score_file(score_path, ids, scores, trial_meta)
 
 
@@ -367,7 +431,12 @@ def run_training(
         use_duration=use_duration, robust=RobustOptions.from_config(cfg),
         grad_accum_steps=int(cfg.extras.get("grad_accum_steps", 1)),
         mixed_precision=mp)
-    eval_step = make_eval_step(model)
+    # chained eval dispatch (docs/PERF.md: ~5-8% on tunneled TPU); off
+    # on CPU where per-dispatch overhead is negligible
+    eval_chain = int(cfg.extras.get(
+        "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
+    eval_step = (make_eval_step(model) if eval_chain == 1
+                 else make_chained_eval_step(model, eval_chain))
     rng = jax.random.PRNGKey(seed + 1)
 
     n_epochs = max_epochs if max_epochs is not None else cfg.num_epochs
@@ -403,7 +472,8 @@ def run_training(
         # dev scoring
         dev_score_path = metric_dir / "dev_score.txt"
         evaluate_to_file(model, params, model_state, loaders.dev,
-                         loaders.dev_trial_meta, dev_score_path, eval_step)
+                         loaders.dev_trial_meta, dev_score_path, eval_step,
+                         chain=eval_chain)
         dev_eer, dev_tdcf = calculate_tdcf_eer(
             dev_score_path, asv_scores_path,
             metric_dir / f"dev_t-DCF_EER_{epoch}epo.txt", printout=False)
@@ -421,7 +491,7 @@ def run_training(
                 eval_score_path = run_dir / cfg.eval_output
                 evaluate_to_file(model, params, model_state, loaders.eval,
                                  loaders.eval_trial_meta, eval_score_path,
-                                 eval_step)
+                                 eval_step, chain=eval_chain)
                 eval_eer, eval_tdcf = calculate_tdcf_eer(
                     eval_score_path, asv_scores_path,
                     metric_dir / f"t-DCF_EER_{epoch:03d}epo.txt",
@@ -458,7 +528,8 @@ def run_training(
 
     eval_score_path = run_dir / cfg.eval_output
     evaluate_to_file(model, params, model_state, loaders.eval,
-                     loaders.eval_trial_meta, eval_score_path, eval_step)
+                     loaders.eval_trial_meta, eval_score_path, eval_step,
+                     chain=eval_chain)
     eval_eer, eval_tdcf = calculate_tdcf_eer(
         eval_score_path, asv_scores_path, run_dir / "t-DCF_EER.txt",
         printout=False)

@@ -54,16 +54,20 @@ def main() -> int:
     #     positive (tests/test_eval_variants.py).
     # BENCH_FUSED_FE=0 / BENCH_AUG_BLOCKS=0 opt out; compile failures
     # fall back flag-by-flag, then to smaller batches.
-    want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
-                     and dtype == "bf16")
+    fe_env = os.environ.get("BENCH_FUSED_FE", "1")
+    want_fused_fe = fe_env != "0" and dtype == "bf16"
+    force_fused_fe = fe_env == "force" and dtype == "bf16"
     want_aug = os.environ.get("BENCH_AUG_BLOCKS", "1") != "0"
+    b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
 
     def build_for_batch(batch):
         c = dict(conf)
-        if want_fused_fe and batch >= 256:
+        if force_fused_fe or (want_fused_fe and batch >= 256):
             c["use_fused_frontend"] = True
         if want_aug:
             c["use_aug_blocks"] = True
+        if b0_chunks_env:
+            c["b0_chunks"] = int(b0_chunks_env)
         return c, build_model(c)
 
     conf0, model = build_for_batch(0)
