@@ -35,7 +35,8 @@ class Scorer:
 
     def __init__(self, model, params, model_state, *, batch_size: int = 128,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
-                 use_fused_encoder: Optional[bool] = None):
+                 use_fused_encoder: Optional[bool] = None,
+                 use_fused_frontend: Optional[bool] = None):
         import copy
 
         import jax
@@ -53,6 +54,18 @@ class Scorer:
                 if a.dtype == jnp.float32 else a, t)
             params, model_state = cast(params), cast(model_state)
             model = with_compute_dtype(model, jnp.bfloat16)
+        if use_fused_frontend is None:
+            # the Pallas sinc frontend is the measured best serving
+            # config on TPU (docs/PERF.md: 1840-1864 utt/s at batch 128
+            # with unchunked block0, vs 1772 XLA-only); elsewhere it
+            # would run in the slow interpreter, so leave it off
+            use_fused_frontend = (bf16
+                                  and jax.default_backend() == "tpu"
+                                  and hasattr(model, "use_fused_frontend"))
+        if use_fused_frontend and hasattr(model, "use_fused_frontend"):
+            model = copy.copy(model)
+            model.use_fused_frontend = True
+            model.b0_chunks = 1 if batch_size < 256 else 2
         if use_fused_encoder is not None and hasattr(
                 model, "use_fused_encoder"):
             model = copy.copy(model)

@@ -46,24 +46,24 @@ def main() -> int:
     #   * batch 128 is the sweet spot — at 256 the program sits on the
     #     HBM edge and XLA schedules remat/copy fusions (~0.63 vs
     #     ~0.57 ms/utt), so 128 is tried FIRST;
-    #   * the fused Pallas sinc frontend + lax.map-chunked block 0 only
-    #     pays at batch >= 256, where it is what makes the program fit —
-    #     at 128 the 2-way chunking costs far more than the kernel saves;
-    #   * augmented-channel block0 (downsample conv folded into conv2 as
-    #     identity input channels) is parity-tested and neutral-to-
-    #     positive (tests/test_eval_variants.py).
-    # BENCH_FUSED_FE=0 / BENCH_AUG_BLOCKS=0 opt out; compile failures
-    # fall back flag-by-flag, then to smaller batches.
-    fe_env = os.environ.get("BENCH_FUSED_FE", "1")
-    want_fused_fe = fe_env != "0" and dtype == "bf16"
-    force_fused_fe = fe_env == "force" and dtype == "bf16"
-    want_aug = os.environ.get("BENCH_AUG_BLOCKS", "1") != "0"
+    #   * the fused Pallas sinc frontend pays at every batch, but its
+    #     companion 2-way block0 chunking (needed to FIT batch 256) is
+    #     poison at 128 (980 utt/s) — so chunks=1 below 256;
+    #   * augmented-channel block0 (use_aug_blocks) costs ~1% in-model
+    #     and stays opt-in (BENCH_AUG_BLOCKS=1).
+    # Best measured: batch 128 + fused fe + chunks 1 = 1840-1864 utt/s.
+    # BENCH_FUSED_FE=0 opts out; compile failures fall back
+    # flag-by-flag, then to smaller batches.
+    want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
+                     and dtype == "bf16")
+    want_aug = os.environ.get("BENCH_AUG_BLOCKS", "0") != "0"
     b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
 
     def build_for_batch(batch):
         c = dict(conf)
-        if force_fused_fe or (want_fused_fe and batch >= 256):
+        if want_fused_fe:
             c["use_fused_frontend"] = True
+            c["b0_chunks"] = 1 if batch < 256 else 2
         if want_aug:
             c["use_aug_blocks"] = True
         if b0_chunks_env:
