@@ -33,15 +33,24 @@ def main() -> int:
     from aasist_tpu.registry import build_model
 
     dtype = os.environ.get("BENCH_DTYPE", "bf16")
-    conf = {
-        "architecture": "AASIST",
-        "first_conv": 128,
-        "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
-        "gat_dims": [64, 32],
-        "pool_ratios": [0.5, 0.7, 0.5, 0.5],
-        "temperatures": [2.0, 2.0, 100.0, 100.0],
-        "dtype": "bfloat16" if dtype == "bf16" else "float32",
-    }
+    arch = os.environ.get("BENCH_ARCH", "AASIST")
+    if arch == "AASIST":
+        conf = {
+            "architecture": "AASIST",
+            "first_conv": 128,
+            "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+            "gat_dims": [64, 32],
+            "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+            "temperatures": [2.0, 2.0, 100.0, 100.0],
+        }
+    else:
+        # BENCH_ARCH names a config file stem (AASIST-L, RawNet2_baseline,
+        # RawGATST_baseline, ...): zoo throughput with random-init weights
+        import json
+        cpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", f"{arch}.conf")
+        conf = dict(json.load(open(cpath))["model_config"])
+    conf["dtype"] = "bfloat16" if dtype == "bf16" else "float32"
     # Per-batch model flags (docs/PERF.md round 2):
     #   * batch 128 is the sweet spot — at 256 the program sits on the
     #     HBM edge and XLA schedules remat/copy fusions (~0.63 vs
@@ -74,7 +83,7 @@ def main() -> int:
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "checkpoints", "AASIST.npz")
-    if os.path.exists(ckpt):
+    if arch == "AASIST" and os.path.exists(ckpt):
         from aasist_tpu.train.checkpoints import load_weights
         params, state = load_weights(ckpt)
     else:
@@ -158,7 +167,7 @@ def main() -> int:
                           "error": "no batch size fit"}))
         return 1
 
-    print(json.dumps({
+    out = {
         "metric": "aasist_eval_throughput",
         "value": round(value, 2),
         "unit": "utt/s/chip",
@@ -166,7 +175,11 @@ def main() -> int:
         "batch": batch_used,
         "dtype": dtype,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if arch != "AASIST":
+        out["metric"] = "eval_throughput"
+        out["arch"] = arch
+    print(json.dumps(out))
     return 0
 
 
