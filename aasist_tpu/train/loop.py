@@ -445,23 +445,36 @@ def run_training(
         loaders.train.set_epoch(epoch)
         t0 = time.time()
         loss_sum, n_correct, n_seen = 0.0, 0, 0
+        # (loss, corr) stay on-device until a progress print or epoch
+        # end: fetching a scalar per step is a synchronous ~27 ms RPC
+        # stall on tunneled backends (docs/PERF.md), and deferring it
+        # lets dispatch of step k+1 overlap device compute of step k
+        pending_metrics = []
+
+        def drain_metrics():
+            nonlocal loss_sum, n_correct, n_seen
+            for dloss, dcorr, bs in pending_metrics:
+                loss_sum += float(dloss) * bs
+                n_correct += int(dcorr)
+                n_seen += bs
+            pending_metrics.clear()
+
         for batch_idx, (x, y, dur) in enumerate(loaders.train):
             rng, sub = jax.random.split(rng)
             params, model_state, opt_state, loss, corr = train_step(
                 params, model_state, opt_state, x, y, dur, sub)
-            bs = x.shape[0]
-            loss_sum += float(loss) * bs
-            n_correct += int(corr)
-            n_seen += bs
+            pending_metrics.append((loss, corr, x.shape[0]))
             global_step += 1
             if batch_idx % 50 == 0:
                 # per-batch progress (the reference's tqdm postfix:
                 # loss/acc/lr — main.py:485-490)
+                drain_metrics()
                 print(f"epoch {epoch:03d} batch {batch_idx}/"
                       f"{steps_per_epoch} loss={loss_sum / n_seen:.4f} "
                       f"acc={100 * n_correct / n_seen:.2f}% "
                       f"lr={float(schedule(global_step)):.2e}",
                       flush=True)
+        drain_metrics()
         train_loss = loss_sum / max(n_seen, 1)
         train_acc = 100.0 * n_correct / max(n_seen, 1)
         log.scalar("loss", train_loss, epoch)
