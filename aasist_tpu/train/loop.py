@@ -143,6 +143,15 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
 
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
+    step = _make_plain_step(model, loss_fn, optimizer, freq_aug=freq_aug,
+                            use_duration=use_duration, robust=robust,
+                            mixed_precision=mixed_precision)
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def _make_plain_step(model, loss_fn, optimizer, *, freq_aug, use_duration,
+                     robust, mixed_precision):
+    """Unjitted single train step (shared by the jitted and chained forms)."""
     micro = _make_loss_and_grads(model, loss_fn, freq_aug=freq_aug,
                                  use_duration=use_duration, robust=robust,
                                  mixed_precision=mixed_precision)
@@ -155,7 +164,48 @@ def make_train_step(model, loss_fn, optimizer, *, freq_aug: bool,
         n_correct = jnp.sum(jnp.argmax(logits, axis=-1) == y)
         return new_params, new_ms, new_opt, loss, n_correct
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return step
+
+
+def make_chained_train_step(model, loss_fn, optimizer, *, chain: int,
+                            freq_aug: bool, use_duration: bool,
+                            robust: Optional["RobustOptions"] = None,
+                            mixed_precision: bool = False):
+    """``chain`` sequential train steps inside ONE jitted dispatch.
+
+    A lax.scan carries (params, model_state, opt_state, rng) through
+    ``chain`` optimizer steps over stacked batches (chain, B, ...).  The
+    rng is advanced by the SAME ``jax.random.split`` sequence the epoch
+    loop performs per step, so chained training walks the identical data
+    + rng stream as sequential training; the results differ only at the
+    float-rounding level (scan vs straight-line programs schedule the
+    same math differently — the usual compile-boundary equivalence
+    class; tested in tests/test_train_stack.py).  Pays the per-dispatch
+    host+RPC overhead (~50 ms/step measured on the tunneled chip,
+    tools/probe_loop_fetch.py) once per group.  Requires fixed-shape
+    batches (no DCS buckets) and grad_accum_steps == 1.
+    """
+    robust = robust or RobustOptions()
+    if mixed_precision:
+        from aasist_tpu.nn import with_compute_dtype
+        model = with_compute_dtype(model, jnp.bfloat16)
+    step = _make_plain_step(model, loss_fn, optimizer, freq_aug=freq_aug,
+                            use_duration=use_duration, robust=robust,
+                            mixed_precision=mixed_precision)
+
+    def chained(params, model_state, opt_state, xs, ys, durs, rng):
+        def body(carry, sl):
+            p, ms, op, r = carry
+            r, sub = jax.random.split(r)
+            p, ms, op, loss, corr = step(p, ms, op, sl[0], sl[1], sl[2],
+                                         sub)
+            return (p, ms, op, r), (loss, corr)
+
+        (p, ms, op, _), (losses, corrs) = jax.lax.scan(
+            body, (params, model_state, opt_state, rng), (xs, ys, durs))
+        return p, ms, op, losses, corrs
+
+    return jax.jit(chained, donate_argnums=(0, 1, 2))
 
 
 def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
@@ -426,11 +476,32 @@ def run_training(
 
     mp = str(cfg.extras.get("mixed_precision", False)).lower() in (
         "1", "true", "yes", "on", "t", "y")
+    grad_accum = int(cfg.extras.get("grad_accum_steps", 1))
     train_step = make_train_step(
         model, loss_fn, optimizer, freq_aug=cfg.freq_aug,
         use_duration=use_duration, robust=RobustOptions.from_config(cfg),
-        grad_accum_steps=int(cfg.extras.get("grad_accum_steps", 1)),
+        grad_accum_steps=grad_accum,
         mixed_precision=mp)
+    # chained train dispatch: K optimizer steps per jitted call, same
+    # data+rng stream as sequential, float-rounding-level drift only
+    # (make_chained_train_step).  Needs fixed batch shapes (no DCS
+    # buckets) and no grad accumulation.  Default OFF: with metric
+    # fetches deferred (below), async dispatch already pipelines steps
+    # and chaining measured exactly neutral on the tunneled chip
+    # (tools/probe_loop_fetch.py: 254.4 vs 254.4 ms/step) — the knob
+    # remains for higher-dispatch-cost environments.
+    train_chain = int(cfg.extras.get("train_chain", 1))
+    if cfg.dynamic_chunk.enabled or grad_accum > 1 or mesh is not None:
+        # DCS buckets vary batch shapes; accumulation has its own scan;
+        # under a DP mesh the stacked (K, B, ...) input would need its
+        # own PartitionSpec — keep the proven per-step path there
+        train_chain = 1
+    chained_train_step = None
+    if train_chain > 1:
+        chained_train_step = make_chained_train_step(
+            model, loss_fn, optimizer, chain=train_chain,
+            freq_aug=cfg.freq_aug, use_duration=use_duration,
+            robust=RobustOptions.from_config(cfg), mixed_precision=mp)
     # chained eval dispatch (docs/PERF.md: ~5-8% on tunneled TPU); off
     # on CPU where per-dispatch overhead is negligible
     eval_chain = int(cfg.extras.get(
@@ -454,26 +525,64 @@ def run_training(
         def drain_metrics():
             nonlocal loss_sum, n_correct, n_seen
             for dloss, dcorr, bs in pending_metrics:
-                loss_sum += float(dloss) * bs
-                n_correct += int(dcorr)
-                n_seen += bs
+                # per-step scalars from single steps; (K,) arrays from
+                # chained groups (every batch in a group has size bs)
+                a = np.asarray(dloss, np.float64)
+                loss_sum += float(a.sum()) * bs
+                n_correct += int(np.asarray(dcorr).sum())
+                n_seen += bs * max(a.size, 1)
             pending_metrics.clear()
 
+        def progress(batch_idx):
+            drain_metrics()
+            print(f"epoch {epoch:03d} batch {batch_idx}/"
+                  f"{steps_per_epoch} loss={loss_sum / n_seen:.4f} "
+                  f"acc={100 * n_correct / n_seen:.2f}% "
+                  f"lr={float(schedule(global_step)):.2e}",
+                  flush=True)
+
+        group_x, group_y, group_d = [], [], []
+        next_print = 0
         for batch_idx, (x, y, dur) in enumerate(loaders.train):
+            if chained_train_step is not None:
+                group_x.append(x)
+                group_y.append(y)
+                group_d.append(dur)
+                if len(group_x) < train_chain:
+                    continue
+                # the chained step splits the carried rng once per inner
+                # step with the same jax.random.split sequence as the
+                # sequential path; mirror it host-side so resume/replay
+                # stay bit-identical
+                group_rng = rng
+                for _ in range(train_chain):
+                    rng, _ = jax.random.split(rng)
+                params, model_state, opt_state, losses, corrs = \
+                    chained_train_step(params, model_state, opt_state,
+                                       jnp.stack(group_x),
+                                       jnp.stack(group_y),
+                                       jnp.stack(group_d), group_rng)
+                pending_metrics.append((losses, corrs, group_x[0].shape[0]))
+                group_x, group_y, group_d = [], [], []
+                global_step += train_chain
+            else:
+                rng, sub = jax.random.split(rng)
+                params, model_state, opt_state, loss, corr = train_step(
+                    params, model_state, opt_state, x, y, dur, sub)
+                pending_metrics.append((loss, corr, x.shape[0]))
+                global_step += 1
+            if batch_idx >= next_print:
+                # per-batch progress (the reference's tqdm postfix:
+                # loss/acc/lr — main.py:485-490)
+                progress(batch_idx)
+                next_print += 50
+        # tail group smaller than train_chain: run it as single steps
+        for x, y, dur in zip(group_x, group_y, group_d):
             rng, sub = jax.random.split(rng)
             params, model_state, opt_state, loss, corr = train_step(
                 params, model_state, opt_state, x, y, dur, sub)
             pending_metrics.append((loss, corr, x.shape[0]))
             global_step += 1
-            if batch_idx % 50 == 0:
-                # per-batch progress (the reference's tqdm postfix:
-                # loss/acc/lr — main.py:485-490)
-                drain_metrics()
-                print(f"epoch {epoch:03d} batch {batch_idx}/"
-                      f"{steps_per_epoch} loss={loss_sum / n_seen:.4f} "
-                      f"acc={100 * n_correct / n_seen:.2f}% "
-                      f"lr={float(schedule(global_step)):.2e}",
-                      flush=True)
         drain_metrics()
         train_loss = loss_sum / max(n_seen, 1)
         train_acc = 100.0 * n_correct / max(n_seen, 1)

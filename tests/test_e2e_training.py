@@ -119,3 +119,25 @@ def test_eval_only_path(tmp_path, corpus):
     assert (run_dir / "t-DCF_EER.txt").exists()
     text = (run_dir / "t-DCF_EER.txt").read_text()
     assert "EER" in text and "min-tDCF" in text
+
+
+@pytest.mark.slow
+def test_training_with_chained_steps(tmp_path, corpus):
+    """train_chain groups steps into one dispatch; tail runs as singles.
+
+    batch 2 over 8 train files = 4 steps; chain 3 = one chained group of
+    3 + a 1-step tail, exercising both paths through the epoch loop.
+    """
+    from aasist_tpu import cli
+    conf_path = _make_config(tmp_path, corpus, batch_size=2,
+                             train_chain=3)
+    rc = cli.main(["--config", str(conf_path),
+                   "--output_dir", str(tmp_path / "expc"), "--seed", "7"])
+    assert rc == 0
+    run_dir = tmp_path / "expc" / "LA_e2e_ep1_bs2"
+    assert (run_dir / "eval_scores.txt").exists()
+    scores = (run_dir / "eval_scores.txt").read_text().strip().split("\n")
+    assert len(scores) == 6
+    # scores are finite floats
+    for line in scores:
+        float(line.split()[-1])

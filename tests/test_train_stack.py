@@ -236,3 +236,78 @@ def test_reestimate_bn_stats_numerically():
                                np.mean(means, axis=0), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out["var"]),
                                np.mean(uvars, axis=0), rtol=1e-4)
+
+
+# ------------------------------------------------------- chained train step
+def test_chained_train_step_matches_sequential():
+    """K chained optimizer steps == K sequential steps (same rng walk;
+    float-rounding-level drift only — scan vs straight-line programs
+    schedule the same math differently, and the drift compounds through
+    optimizer steps, so the comparison is on the FIRST group)."""
+    import optax
+
+    from aasist_tpu.registry import build_model
+    from aasist_tpu.train.loop import (make_chained_train_step,
+                                       make_train_step)
+    from aasist_tpu.train.losses import weighted_cce
+
+    conf = {
+        "architecture": "AASIST",
+        "first_conv": 128,
+        "filts": [70, [1, 4], [4, 4], [4, 8], [8, 8]],
+        "gat_dims": [12, 8],
+        "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+        "temperatures": [2.0, 2.0, 100.0, 100.0],
+    }
+    model = build_model(conf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # plain SGD: updates are lr*grad, so float-rounding drift stays at
+    # the float level.  (adam's g/(sqrt(v)+eps) is chaotic while v~0 —
+    # a single rounding flip moves a weight by ~lr, which would force a
+    # meaninglessly loose parameter tolerance.)
+    optimizer = optax.sgd(1e-3)
+    opt_state = optimizer.init(params)
+    loss_fn = (lambda logits, labels, durations=None, mask=None:
+               weighted_cce(logits, labels, sample_mask=mask))
+    kw = dict(freq_aug=False, use_duration=False)
+    step = make_train_step(model, loss_fn, optimizer, **kw)
+    chained = make_chained_train_step(model, loss_fn, optimizer, chain=2,
+                                      **kw)
+
+    r = np.random.default_rng(5)
+    xs = jnp.asarray(r.standard_normal((4, 3, 12000)), jnp.float32)
+    ys = jnp.asarray(r.integers(0, 2, (4, 3)), jnp.int32)
+    ds = jnp.full((4, 3), 4.0, jnp.float32)
+
+    # the steps donate (params, state, opt_state): give each pass its
+    # own copies
+    dup = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+
+    # sequential: 2 steps
+    p1, s1, o1 = dup(params), dup(state), dup(opt_state)
+    rng = jax.random.PRNGKey(7)
+    seq_losses = []
+    for k in range(2):
+        rng, sub = jax.random.split(rng)
+        p1, s1, o1, loss, corr = step(p1, s1, o1, xs[k], ys[k], ds[k], sub)
+        seq_losses.append(float(loss))
+
+    # chained: one group of 2, starting from the same rng
+    p2, s2, o2 = dup(params), dup(state), dup(opt_state)
+    p2, s2, o2, losses, corrs = chained(
+        p2, s2, o2, xs[:2], ys[:2], ds[:2], jax.random.PRNGKey(7))
+    ch_losses = np.asarray(losses).tolist()
+
+    # a wrong rng walk / batch order / state threading shows up as O(1)
+    # differences; correct wiring leaves only float-rounding drift
+    np.testing.assert_allclose(ch_losses, seq_losses, rtol=1e-5,
+                               atol=1e-6)
+    # program-level rounding drift measures up to ~6e-6 absolute /
+    # ~8e-4 relative across leaves (temperature-100 softmaxes amplify
+    # cancellation), while a wiring error (wrong rng/batch/state
+    # threading) shifts leaves by their own magnitude (~1e-4 .. 0.3) —
+    # these tolerances separate the two by >10x
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=2e-3, atol=2e-5), p1, p2)

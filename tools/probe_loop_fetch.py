@@ -76,6 +76,41 @@ run(2, 1)
 t_sync = run(N, 1)
 t_defer = run(N, 50)
 print(f"per-step fetch : {1e3 * t_sync / N:7.1f} ms/step "
-      f"({B * N / t_sync:6.1f} utt/s)")
+      f"({B * N / t_sync:6.1f} utt/s)", flush=True)
 print(f"deferred fetch : {1e3 * t_defer / N:7.1f} ms/step "
-      f"({B * N / t_defer:6.1f} utt/s)")
+      f"({B * N / t_defer:6.1f} utt/s)", flush=True)
+
+# chained: K optimizer steps per dispatch (run_training train_chain)
+from aasist_tpu.train.loop import make_chained_train_step  # noqa: E402
+
+K = 8
+chained = make_chained_train_step(model, loss_fn, optimizer, chain=K,
+                                  freq_aug=False, use_duration=False,
+                                  mixed_precision=True)
+xs = jnp.stack([x] * K)
+ys = jnp.stack([y] * K)
+ds = jnp.stack([dur] * K)
+
+
+def run_chained(groups):
+    global params, state, opt_state, key
+    t0 = time.perf_counter()
+    pend = []
+    for _ in range(groups):
+        gkey = key
+        for _ in range(K):
+            key, _ = jax.random.split(key)
+        params, state, opt_state, losses, corrs = chained(
+            params, state, opt_state, xs, ys, ds, gkey)
+        pend.append((losses, corrs))
+    for dl, dc in pend:
+        np.asarray(dl), np.asarray(dc)
+    return time.perf_counter() - t0
+
+
+run_chained(1)            # compile + warmup
+groups = max(2, N // K)
+t_chain = run_chained(groups)
+n = groups * K
+print(f"chained (K={K}) : {1e3 * t_chain / n:7.1f} ms/step "
+      f"({B * n / t_chain:6.1f} utt/s)", flush=True)
