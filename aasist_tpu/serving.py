@@ -30,13 +30,17 @@ class Scorer:
     docs/PERF.md).  The default batch of 128 is the measured v5e sweet
     spot for the AASIST forward — large enough to saturate the MXU,
     small enough that XLA schedules without HBM-pressure remat/copies
-    (docs/PERF.md headline table).
+    (docs/PERF.md headline table).  ``mesh`` enables data-parallel
+    serving: the batch shards over the mesh's data axis with replicated
+    parameters (the training SPMD layout), scaling throughput across
+    chips; ``batch_size`` must divide the data-axis size.
     """
 
     def __init__(self, model, params, model_state, *, batch_size: int = 128,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
                  use_fused_encoder: Optional[bool] = None,
-                 use_fused_frontend: Optional[bool] = None):
+                 use_fused_frontend: Optional[bool] = None,
+                 mesh=None):
         import copy
 
         import jax
@@ -46,6 +50,18 @@ class Scorer:
 
         self.batch_size = batch_size
         self.window = window
+        # data-parallel serving: with a (data, model) mesh, the batch
+        # dim shards across the data axis (params replicated) and XLA
+        # runs every chip on its slice — same SPMD layout as training
+        # (aasist_tpu/parallel).  batch_size must divide the data axis.
+        self._mesh = mesh
+        if mesh is not None:
+            from aasist_tpu.parallel import (batch_sharding,
+                                             replicated_sharding)
+            self._x_sharding = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            params = jax.device_put(params, repl)
+            model_state = jax.device_put(model_state, repl)
         # never mutate the caller's architecture object (it may back other
         # scorers/train steps): configure a private shallow copy instead
         if bf16:
@@ -78,7 +94,14 @@ class Scorer:
             (_, logits), _ = model.apply(p, s, x, train=False)
             return logits[:, 1].astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        self._jfwd = jax.jit(fwd)
+
+        def run(p, s, x):
+            if self._mesh is not None:
+                x = jax.device_put(x, self._x_sharding)
+            return self._jfwd(p, s, x)
+
+        self._fwd = run
 
     @classmethod
     def from_config(cls, config_path, weights_path=None, **kwargs

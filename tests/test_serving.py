@@ -81,3 +81,22 @@ def test_scorer_does_not_mutate_shared_model():
                          use_fused_encoder=True)
     assert model.use_fused_encoder is False
     assert s_fused_off.model.use_fused_encoder is True
+
+
+def test_scorer_on_data_parallel_mesh():
+    """Scorer(mesh=...) shards the batch over the data axis; scores
+    match the single-device scorer."""
+    from aasist_tpu.parallel import make_mesh
+
+    model = build_model(TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    single = Scorer(model, params, state, batch_size=8, window=16000,
+                    bf16=False)
+    mesh = make_mesh()
+    sharded = Scorer(model, params, state, batch_size=8, window=16000,
+                     bf16=False, mesh=mesh)
+    rng = np.random.default_rng(2)
+    batch = rng.standard_normal((8, 16000)).astype(np.float32) * 0.05
+    a = single.score_batch(batch)
+    b = sharded.score_batch(batch)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
