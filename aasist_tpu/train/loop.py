@@ -503,9 +503,14 @@ def run_training(
             freq_aug=cfg.freq_aug, use_duration=use_duration,
             robust=RobustOptions.from_config(cfg), mixed_precision=mp)
     # chained eval dispatch (docs/PERF.md: ~5-8% on tunneled TPU); off
-    # on CPU where per-dispatch overhead is negligible
+    # on CPU where per-dispatch overhead is negligible, and off under a
+    # DP mesh (stacking sharded batches would need its own
+    # PartitionSpec — keep the proven per-batch path there)
     eval_chain = int(cfg.extras.get(
-        "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
+        "eval_chain",
+        4 if (jax.default_backend() == "tpu" and mesh is None) else 1))
+    if mesh is not None:
+        eval_chain = 1
     eval_step = (make_eval_step(model) if eval_chain == 1
                  else make_chained_eval_step(model, eval_chain))
     rng = jax.random.PRNGKey(seed + 1)
