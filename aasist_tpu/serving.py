@@ -149,10 +149,28 @@ class Scorer:
                 lambda b: self._fwd(self._params, self._state, b),
                 window=self.window, batch_size=self.batch_size,
                 aggregate=aggregate)
+        # dispatch pipelined 2 deep (like produce_scores): fetching
+        # batch k's scores overlaps device compute of batch k+1
+        import collections
+
         scores: List[float] = []
+        pending = collections.deque()
+
+        def drain_one():
+            out, n = pending.popleft()
+            scores.extend(np.asarray(out)[:n].tolist())
+
         for i in range(0, len(waveforms), self.batch_size):
             chunk = waveforms[i:i + self.batch_size]
             rows = np.stack([pad_to_fixed(np.asarray(w), self.window)
                              for w in chunk]).astype(np.float32)
-            scores.extend(self.score_batch(rows).tolist())
+            n = rows.shape[0]
+            if n < self.batch_size:
+                rows = np.concatenate(
+                    [rows, np.tile(rows[-1:], (self.batch_size - n, 1))])
+            pending.append((self._fwd(self._params, self._state, rows), n))
+            if len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
         return scores

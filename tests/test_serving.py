@@ -100,3 +100,18 @@ def test_scorer_on_data_parallel_mesh():
     a = single.score_batch(batch)
     b = sharded.score_batch(batch)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_score_waveforms_many_batches(scorer):
+    """>3 batches exercises the 2-deep dispatch pipeline + ragged tail;
+    results must match per-batch scoring."""
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(16000).astype(np.float32) * 0.05
+            for _ in range(4 * scorer.batch_size + 1)]
+    got = scorer.score_waveforms(wavs)
+    assert len(got) == len(wavs)
+    ref = []
+    for i in range(0, len(wavs), scorer.batch_size):
+        ref.extend(scorer.score_batch(
+            np.stack(wavs[i:i + scorer.batch_size])).tolist())
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
