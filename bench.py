@@ -79,7 +79,7 @@ def main() -> int:
             c["b0_chunks"] = int(b0_chunks_env)
         return c, build_model(c)
 
-    conf0, model = build_for_batch(0)
+    _, model = build_for_batch(0)
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "checkpoints", "AASIST.npz")
