@@ -71,13 +71,26 @@ def score_long_audio(
         all_windows.extend(w)
     windows = np.stack(all_windows).astype(np.float32)
 
+    # dispatch pipelined 2 deep: converting batch k's scores overlaps
+    # device compute of batch k+1 (same pattern as produce_scores)
+    import collections
+
     scores = np.empty(len(windows), np.float64)
+    pending = collections.deque()
+
+    def drain_one():
+        out, i, n_real = pending.popleft()
+        scores[i:i + n_real] = np.asarray(out)[:n_real]
+
     for i in range(0, len(windows), batch_size):
         chunk = windows[i:i + batch_size]
         n_real = len(chunk)
         if n_real < batch_size:
             chunk = np.concatenate(
                 [chunk, np.tile(chunk[-1:], (batch_size - n_real, 1))])
-        out = np.asarray(batched_scorer(chunk))
-        scores[i:i + n_real] = out[:n_real]
+        pending.append((batched_scorer(chunk), i, n_real))
+        if len(pending) > 2:
+            drain_one()
+    while pending:
+        drain_one()
     return [float(agg(scores[a:b])) for a, b in spans]
