@@ -143,9 +143,13 @@ def main(argv=None) -> int:
         print(f"Model loaded : {weights}")
         print("Start evaluation...")
         eval_score_path = run_dir / cfg.eval_output
-        import jax
+        # same guard as run_training: stacking mesh-sharded batches for
+        # the chained dispatch would need its own PartitionSpec
         eval_chain = int(cfg.extras.get(
-            "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
+            "eval_chain",
+            4 if (jax.default_backend() == "tpu" and mesh is None) else 1))
+        if mesh is not None:
+            eval_chain = 1
         evaluate_to_file(model, params, model_state, loaders.eval,
                          loaders.eval_trial_meta, eval_score_path,
                          chain=eval_chain)

@@ -71,26 +71,23 @@ def score_long_audio(
         all_windows.extend(w)
     windows = np.stack(all_windows).astype(np.float32)
 
-    # dispatch pipelined 2 deep: converting batch k's scores overlaps
-    # device compute of batch k+1 (same pattern as produce_scores)
-    import collections
+    # dispatch pipelined 2 deep (utils/dispatch): converting batch k's
+    # scores overlaps device compute of batch k+1
+    from aasist_tpu.utils.dispatch import pipelined
 
     scores = np.empty(len(windows), np.float64)
-    pending = collections.deque()
 
-    def drain_one():
-        out, i, n_real = pending.popleft()
-        scores[i:i + n_real] = np.asarray(out)[:n_real]
-
-    for i in range(0, len(windows), batch_size):
+    def dispatch(i):
         chunk = windows[i:i + batch_size]
         n_real = len(chunk)
         if n_real < batch_size:
             chunk = np.concatenate(
                 [chunk, np.tile(chunk[-1:], (batch_size - n_real, 1))])
-        pending.append((batched_scorer(chunk), i, n_real))
-        if len(pending) > 2:
-            drain_one()
-    while pending:
-        drain_one()
+        return batched_scorer(chunk), i, n_real
+
+    def drain(ticket):
+        out, i, n_real = ticket
+        scores[i:i + n_real] = np.asarray(out)[:n_real]
+
+    pipelined(range(0, len(windows), batch_size), dispatch, drain)
     return [float(agg(scores[a:b])) for a, b in spans]

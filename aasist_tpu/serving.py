@@ -33,7 +33,7 @@ class Scorer:
     (docs/PERF.md headline table).  ``mesh`` enables data-parallel
     serving: the batch shards over the mesh's data axis with replicated
     parameters (the training SPMD layout), scaling throughput across
-    chips; ``batch_size`` must divide the data-axis size.
+    chips; ``batch_size`` must be divisible by the data-axis size.
     """
 
     def __init__(self, model, params, model_state, *, batch_size: int = 128,
@@ -53,7 +53,8 @@ class Scorer:
         # data-parallel serving: with a (data, model) mesh, the batch
         # dim shards across the data axis (params replicated) and XLA
         # runs every chip on its slice — same SPMD layout as training
-        # (aasist_tpu/parallel).  batch_size must divide the data axis.
+        # (aasist_tpu/parallel).  batch_size must be divisible by the
+        # data-axis size.
         self._mesh = mesh
         if mesh is not None:
             from aasist_tpu.parallel import (batch_sharding,
@@ -74,14 +75,23 @@ class Scorer:
             # the Pallas sinc frontend is the measured best serving
             # config on TPU (docs/PERF.md: 1840-1864 utt/s at batch 128
             # with unchunked block0, vs 1772 XLA-only); elsewhere it
-            # would run in the slow interpreter, so leave it off
-            use_fused_frontend = (bf16
+            # would run in the slow interpreter, and GSPMD cannot
+            # partition the custom call over a sharded batch, so leave
+            # it off on CPU/GPU and under a mesh
+            use_fused_frontend = (bf16 and mesh is None
                                   and jax.default_backend() == "tpu"
                                   and hasattr(model, "use_fused_frontend"))
-        if use_fused_frontend and hasattr(model, "use_fused_frontend"):
+        if hasattr(model, "use_fused_frontend"):
+            was_on = model.use_fused_frontend
             model = copy.copy(model)
-            model.use_fused_frontend = True
-            model.b0_chunks = 1 if batch_size < 256 else 2
+            model.use_fused_frontend = bool(use_fused_frontend)
+            if use_fused_frontend and not was_on:
+                # we are enabling it: the model's b0_chunks was computed
+                # for the UNfused path (default 1).  Chunking only exists
+                # to fit batch >= 256; below that unchunked is the
+                # measured win.  A config-set value > 1 is respected.
+                if model.b0_chunks == 1 and batch_size >= 256:
+                    model.b0_chunks = 2
         if use_fused_encoder is not None and hasattr(
                 model, "use_fused_encoder"):
             model = copy.copy(model)
@@ -149,18 +159,13 @@ class Scorer:
                 lambda b: self._fwd(self._params, self._state, b),
                 window=self.window, batch_size=self.batch_size,
                 aggregate=aggregate)
-        # dispatch pipelined 2 deep (like produce_scores): fetching
-        # batch k's scores overlaps device compute of batch k+1
-        import collections
+        # dispatch pipelined 2 deep (utils/dispatch): fetching batch k's
+        # scores overlaps device compute of batch k+1
+        from aasist_tpu.utils.dispatch import pipelined
 
         scores: List[float] = []
-        pending = collections.deque()
 
-        def drain_one():
-            out, n = pending.popleft()
-            scores.extend(np.asarray(out)[:n].tolist())
-
-        for i in range(0, len(waveforms), self.batch_size):
+        def dispatch(i):
             chunk = waveforms[i:i + self.batch_size]
             rows = np.stack([pad_to_fixed(np.asarray(w), self.window)
                              for w in chunk]).astype(np.float32)
@@ -168,9 +173,12 @@ class Scorer:
             if n < self.batch_size:
                 rows = np.concatenate(
                     [rows, np.tile(rows[-1:], (self.batch_size - n, 1))])
-            pending.append((self._fwd(self._params, self._state, rows), n))
-            if len(pending) > 2:
-                drain_one()
-        while pending:
-            drain_one()
+            return self._fwd(self._params, self._state, rows), n
+
+        def drain(ticket):
+            out, n = ticket
+            scores.extend(np.asarray(out)[:n].tolist())
+
+        pipelined(range(0, len(waveforms), self.batch_size),
+                  dispatch, drain)
         return scores

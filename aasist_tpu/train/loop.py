@@ -335,61 +335,55 @@ def produce_scores(model, params, model_state, batcher,
     ``make_chained_eval_step`` — pass it when calling repeatedly, e.g.
     per epoch, to avoid re-jitting).
     """
-    import collections
+    from aasist_tpu.utils.dispatch import pipelined
+
+    ids, scores = [], []
 
     if chain > 1:
         chained_step = (eval_step if eval_step is not None
                         else make_chained_eval_step(model, chain))
-        ids, scores = [], []
-        pending = collections.deque()
 
-        def drain_group():
-            logits, utt_lists = pending.popleft()
+        def groups():
+            gx, gu = [], []
+            for x, utts, n_real in batcher:
+                gx.append(x)
+                gu.append(utts)
+                if len(gx) == chain:
+                    yield gx, gu
+                    gx, gu = [], []
+            if gx:
+                # pad the final partial group by repeating its last
+                # batch; the padding rows have no utt list and drop
+                yield gx + [gx[-1]] * (chain - len(gx)), gu
+
+        def dispatch(group):
+            gx, gu = group
+            return chained_step(params, model_state, jnp.stack(gx)), gu
+
+        def drain(ticket):
+            logits, utt_lists = ticket
             arr = np.asarray(logits)            # (chain, B, n_classes)
             for g, utts in enumerate(utt_lists):
                 ids.extend(utts)
                 scores.extend(arr[g, :len(utts), 1].tolist())
 
-        group_x, group_u = [], []
-
-        def dispatch():
-            gx = group_x + [group_x[-1]] * (chain - len(group_x))
-            xs = jnp.stack(gx)
-            pending.append((chained_step(params, model_state, xs),
-                            list(group_u)))
-            group_x.clear()
-            group_u.clear()
-
-        for x, utts, n_real in batcher:
-            group_x.append(x)
-            group_u.append(utts)
-            if len(group_x) == chain:
-                dispatch()
-                if len(pending) > pipeline_depth:
-                    drain_group()
-        if group_x:
-            dispatch()
-        while pending:
-            drain_group()
+        pipelined(groups(), dispatch, drain, depth=pipeline_depth)
         return ids, scores
 
     if eval_step is None:
         eval_step = make_eval_step(model)
-    ids, scores = [], []
-    pending = collections.deque()
 
-    def drain_one():
-        logits, utts = pending.popleft()
+    def dispatch(item):
+        x, utts, n_real = item
+        return eval_step(params, model_state, x), utts
+
+    def drain(ticket):
+        logits, utts = ticket
         s = np.asarray(logits[:, 1])
         ids.extend(utts)
         scores.extend(s[:len(utts)].tolist())
 
-    for x, utts, n_real in batcher:
-        pending.append((eval_step(params, model_state, x), utts))
-        if len(pending) > pipeline_depth:
-            drain_one()
-    while pending:
-        drain_one()
+    pipelined(batcher, dispatch, drain, depth=pipeline_depth)
     return ids, scores
 
 

@@ -115,7 +115,6 @@ def main() -> int:
         _, all_logits = jax.lax.scan(body, 0, xs)
         return jnp.sum(all_logits)
 
-    fwd = jax.jit(forward)
     rng = np.random.default_rng(0)
 
     value = None

@@ -115,3 +115,35 @@ def test_score_waveforms_many_batches(scorer):
         ref.extend(scorer.score_batch(
             np.stack(wavs[i:i + scorer.batch_size])).tolist())
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_scorer_fused_frontend_opt_out():
+    """An explicit use_fused_frontend=False overrides a config-enabled
+    fused frontend (the Pallas kernel would hit the slow interpreter on
+    CPU), without mutating the caller's model object."""
+    model = build_model({**TINY, "use_fused_frontend": True})
+    params, state = model.init(jax.random.PRNGKey(0))
+    s = Scorer(model, params, state, batch_size=2, window=16000,
+               bf16=False, use_fused_frontend=False)
+    assert model.use_fused_frontend is True          # caller's untouched
+    assert s.model.use_fused_frontend is False
+    rng = np.random.default_rng(4)
+    out = s.score_batch(rng.standard_normal((2, 16000))
+                        .astype(np.float32) * 0.05)
+    assert np.all(np.isfinite(out))
+
+
+def test_scorer_mesh_with_bf16_keeps_fused_frontend_off():
+    """Under a mesh the frontend auto-resolve must stay off even in
+    bf16 (GSPMD cannot partition the Pallas call over a sharded batch)."""
+    from aasist_tpu.parallel import make_mesh
+
+    model = build_model(TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    s = Scorer(model, params, state, batch_size=8, window=16000,
+               bf16=True, mesh=make_mesh())
+    assert not s.model.use_fused_frontend
+    rng = np.random.default_rng(5)
+    out = s.score_batch(rng.standard_normal((8, 16000))
+                        .astype(np.float32) * 0.05)
+    assert np.all(np.isfinite(out))
