@@ -5,10 +5,12 @@ wrapper (the f64 path; the loader's one-pass f32 path is strictly
 faster).  Shared-VM run-to-run noise is ~±10-15% — compare best-of
 numbers, and bench A/B variants back-to-back.
 
-History (synthetic eval corpus, 1 core):
+History (synthetic eval corpus, 1 core; passes 2-3 were measured under
+test-suite load, which inflates readings up to ~40%):
   round 1            0.98 ms/file (~1020 files/s)  buffered reader + CLZ
-  round 2 pass 2     0.76 ms/file                  fused rice, wide fills
-  round 2 pass 3     0.60 ms/file (~1650 files/s)  slicing-by-8 CRC-16
+  round 2 pass 2     0.76 ms/file (loaded host)    fused rice, wide fills
+  round 2 pass 3     0.60 ms/file (loaded host)    slicing-by-8 CRC-16
+  round 2 pass 3     0.435 ms/file (~2300 files/s) same build, idle host
 
 Usage: python tools/bench_decode.py [flac_dir] [reps]
 """
