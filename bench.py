@@ -129,8 +129,10 @@ def main() -> int:
         x = jax.device_put(x)
         for attempt in range(3):
             try:
+                _HEARTBEAT[0] = time.time()
                 # compile + warmup (first compile can take min. remotely)
                 float(fwd(params, state, x))
+                _HEARTBEAT[0] = time.time()
                 float(fwd(params, state, x))
                 n_iters = max(2, int(4096 / (G * batch)))
                 import collections
@@ -182,32 +184,44 @@ def main() -> int:
     return 0
 
 
+# progress heartbeat: main() bumps this before/after each compile
+# attempt; the watchdog fires only if NO progress happens for the
+# window, so a legitimate run that falls back through several
+# cold-compiled batch sizes never trips it
+_HEARTBEAT = [0.0]
+
+
 def _safe_main() -> int:
     import os
     import threading
 
     # A dead tunnel HANGS jax calls rather than raising; emit the JSON
-    # line and exit before any outer harness timeout loses it.  Default
-    # is generous: cold remote compiles of the full forward take up to
-    # ~10 min on this backend.
+    # line and exit before any outer harness timeout loses it.  The
+    # window bounds a SINGLE stalled step (one compile attempt is the
+    # longest legitimate silence, ~10 min worst observed), not the
+    # whole run.
     watchdog_s = float(os.environ.get("BENCH_WATCHDOG", 1800))
+    _HEARTBEAT[0] = time.time()
+    done = threading.Event()
 
-    def fire():
-        print(json.dumps({"metric": "aasist_eval_throughput", "value": 0,
-                          "unit": "utt/s/chip", "vs_baseline": 0,
-                          "error": f"watchdog: no result in {watchdog_s}s "
-                                   "(backend hang?)"}), flush=True)
-        os._exit(2)
+    def watch():
+        while not done.wait(15.0):
+            if time.time() - _HEARTBEAT[0] > watchdog_s:
+                print(json.dumps(
+                    {"metric": "aasist_eval_throughput", "value": 0,
+                     "unit": "utt/s/chip", "vs_baseline": 0,
+                     "error": f"watchdog: no progress in {watchdog_s}s "
+                              "(backend hang?)"}), flush=True)
+                os._exit(2)
 
-    t = threading.Timer(watchdog_s, fire)
-    t.daemon = True
+    t = threading.Thread(target=watch, daemon=True)
     t.start()
     try:
         rc = main()
-        t.cancel()
+        done.set()
         return rc
     except Exception as e:  # backend init / tunnel failures included
-        t.cancel()
+        done.set()
         print(json.dumps({"metric": "aasist_eval_throughput", "value": 0,
                           "unit": "utt/s/chip", "vs_baseline": 0,
                           "error": str(e)[:400]}))
