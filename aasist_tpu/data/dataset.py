@@ -168,14 +168,16 @@ class EvalBatcher:
     """
 
     def __init__(self, store: AudioStore, utt_ids: Sequence[str],
-                 batch_size: int, sharding=None, num_threads: int = 8,
+                 batch_size: int, sharding=None,
+                 num_threads: Optional[int] = None,
                  fixed_len: int = FIXED_EVAL_LEN, prefetch: int = 2):
         self.store = store
         self.utt_ids = list(utt_ids)
         self.batch_size = batch_size
         self.sharding = sharding
         self.fixed_len = fixed_len
-        self.num_threads = num_threads
+        self.num_threads = (num_threads if num_threads is not None
+                            else min(8, os.cpu_count() or 1))
         self.prefetch = prefetch
 
     def __len__(self):
@@ -227,7 +229,8 @@ class TrainBatcher:
                  dcs_buckets: Optional[np.ndarray] = None,
                  dcs_min: int = 16000, dcs_max: int = 96000,
                  fixed_len: int = FIXED_TRAIN_LEN,
-                 sharding=None, num_threads: int = 8, prefetch: int = 2):
+                 sharding=None, num_threads: Optional[int] = None,
+                 prefetch: int = 2):
         self.store = store
         self.utt_ids = list(utt_ids)
         self.labels = labels
@@ -239,7 +242,8 @@ class TrainBatcher:
         self.dcs_max = dcs_max
         self.fixed_len = fixed_len
         self.sharding = sharding
-        self.num_threads = num_threads
+        self.num_threads = (num_threads if num_threads is not None
+                            else min(8, os.cpu_count() or 1))
         self.prefetch = prefetch
         self.epoch = 0
 
