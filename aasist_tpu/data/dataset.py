@@ -141,6 +141,61 @@ class AudioStore:
 
 
 # ---------------------------------------------------------------- batchers
+class _ConsumerGone(BaseException):
+    """Raised inside a producer thread when its consumer went away."""
+
+
+def _iter_prefetched(produce: Callable, prefetch: int) -> Iterator:
+    """Items produced on a daemon thread, with bounded prefetch.
+
+    ``produce(emit)`` is run on the thread and calls ``emit(item)`` once
+    per batch; producer errors re-raise in the consumer.  Closing the
+    returned generator (or abandoning iteration — ``break``, an exception,
+    garbage collection) sets a stop flag that ``emit`` polls while blocked
+    on the bounded queue, so the producer thread and its prefetch buffers
+    are reclaimed promptly instead of leaking for the life of the process.
+    """
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+    done = object()
+
+    def emit(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+        raise _ConsumerGone
+
+    def run():
+        try:
+            produce(emit)
+        except _ConsumerGone:
+            return
+        except BaseException as e:  # surface worker errors to consumer
+            item = e
+        else:
+            item = done
+        try:
+            emit(item)
+        except _ConsumerGone:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def _device_put_sharded(batch_np: np.ndarray, sharding=None):
     import jax
     if sharding is None:
@@ -188,29 +243,15 @@ class EvalBatcher:
 
     def __iter__(self) -> Iterator[Tuple[object, List[str], int]]:
         """Yields (device_batch (B, L), utt_ids, n_real)."""
-        def produce(out_q: queue.Queue):
-            try:
-                with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                    for i in range(0, len(self.utt_ids), self.batch_size):
-                        ids = self.utt_ids[i:i + self.batch_size]
-                        rows = list(pool.map(self._load_one, ids))
-                        batch, n_real = _pad_batch_rows(rows, self.batch_size)
-                        out_q.put((batch, ids, n_real))
-            except BaseException as e:  # surface worker errors to consumer
-                out_q.put(e)
-                return
-            out_q.put(None)
+        def produce(emit):
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for i in range(0, len(self.utt_ids), self.batch_size):
+                    ids = self.utt_ids[i:i + self.batch_size]
+                    rows = list(pool.map(self._load_one, ids))
+                    batch, n_real = _pad_batch_rows(rows, self.batch_size)
+                    emit((batch, ids, n_real))
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            batch, ids, n_real = item
+        for batch, ids, n_real in _iter_prefetched(produce, self.prefetch):
             yield _device_put_sharded(batch, self.sharding), ids, n_real
 
 
@@ -278,47 +319,33 @@ class TrainBatcher:
                 return row, dur
             return pad_random(x, target, row_rng), target / 16000.0
 
-        def produce(out_q: queue.Queue):
-            try:
-                with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                    for b in range(n_batches):
-                        idx = order[b * self.batch_size:
-                                    (b + 1) * self.batch_size]
-                        ids = [self.utt_ids[i] for i in idx]
-                        row_rngs = [np.random.default_rng(
-                            (self.seed, self.epoch, b, j))
-                            for j in range(len(ids))]
-                        if self.dcs_buckets is not None:
-                            targets = [int(draw_chunk_targets(
-                                r, 1, self.dcs_min, self.dcs_max)[0])
-                                for r in row_rngs]
-                            pad_to = snap_up_to_bucket(max(targets),
-                                                       self.dcs_buckets)
-                        else:
-                            targets = [self.fixed_len] * len(ids)
-                            pad_to = self.fixed_len
-                        out = list(pool.map(load_row, ids, targets,
-                                            [pad_to] * len(ids), row_rngs))
-                        x = np.stack([r for r, _ in out]).astype(np.float32)
-                        y = np.asarray([self.labels[u] for u in ids],
-                                       np.int32)
-                        dur = np.asarray([d for _, d in out], np.float32)
-                        out_q.put((x, y, dur))
-            except BaseException as e:
-                out_q.put(e)
-                return
-            out_q.put(None)
+        def produce(emit):
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for b in range(n_batches):
+                    idx = order[b * self.batch_size:
+                                (b + 1) * self.batch_size]
+                    ids = [self.utt_ids[i] for i in idx]
+                    row_rngs = [np.random.default_rng(
+                        (self.seed, self.epoch, b, j))
+                        for j in range(len(ids))]
+                    if self.dcs_buckets is not None:
+                        targets = [int(draw_chunk_targets(
+                            r, 1, self.dcs_min, self.dcs_max)[0])
+                            for r in row_rngs]
+                        pad_to = snap_up_to_bucket(max(targets),
+                                                   self.dcs_buckets)
+                    else:
+                        targets = [self.fixed_len] * len(ids)
+                        pad_to = self.fixed_len
+                    out = list(pool.map(load_row, ids, targets,
+                                        [pad_to] * len(ids), row_rngs))
+                    x = np.stack([r for r, _ in out]).astype(np.float32)
+                    y = np.asarray([self.labels[u] for u in ids],
+                                   np.int32)
+                    dur = np.asarray([d for _, d in out], np.float32)
+                    emit((x, y, dur))
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            x, y, dur = item
+        for x, y, dur in _iter_prefetched(produce, self.prefetch):
             yield (_device_put_sharded(x, self.sharding),
                    _device_put_sharded(y, self.sharding),
                    _device_put_sharded(dur, self.sharding))

@@ -76,13 +76,6 @@ class AasistModel:
         # halves HBM traffic; callers cast params to match).  fp32 default.
         self.compute_dtype = jnp.dtype(model_config.get("dtype", "float32"))
 
-        # fused Pallas encoder for inference (aasist_tpu/ops/fused_resblock):
-        # one kernel per block, all intermediates in VMEM.  Only applies to
-        # the original residual encoder in eval mode; training and the
-        # Res2Net encoder use the XLA path.
-        self.use_fused_encoder = bool(model_config.get(
-            "use_fused_encoder", False))
-
         # fused Pallas frontend (aasist_tpu/ops/fused_frontend): sinc conv
         # + abs + maxpool(3,3) + bn + selu in one kernel — avoids the
         # (B, 70, 64472) HBM round-trip, ~41 -> ~12 ms at batch 256
@@ -160,7 +153,13 @@ class AasistModel:
             enc_s.append(bs)
         params["encoder"], state["encoder"] = enc_p, enc_s
 
-        params["pos_S"] = jax.random.normal(next(ks), (1, 23, d_enc))
+        # spectral positional embedding: one node per post-frontend
+        # frequency bin (filts[0] sinc channels maxpooled by 3 -> 23 at
+        # the flagship 70).  The reference hardcodes 23 (AASIST.py:774)
+        # and crashes at forward for any other filts[0]; deriving it
+        # keeps bit-parity at 70 and makes shrunken configs runnable.
+        params["pos_S"] = jax.random.normal(
+            next(ks), (1, self.filts[0] // 3, d_enc))
         params["master1"] = jax.random.normal(next(ks), (1, 1, g0))
         params["master2"] = jax.random.normal(next(ks), (1, 1, g0))
 
@@ -223,51 +222,38 @@ class AasistModel:
                 train=train)
             x = jax.nn.selu(x)
 
-        if (self.use_fused_encoder and not train
-                and self.encoder_type == "residual"):
-            from aasist_tpu.ops import fused_resblock as FR
-            # encoder-major chain: one entry transpose, fused Pallas
-            # blocks while the time axis is long (the kernel's MXU dots
-            # need 128-aligned tiles; short late blocks are cheap on XLA)
-            e_em = FR.to_encoder_major(x)
-            i = 0
-            # fused wins where the block is HBM-bound (C_in=1 block0 with
-            # its 8 GB/batch-256 of unfused intermediates); deeper blocks
-            # are MXU-bound at the same K,N as XLA's own conv — parity at
-            # best — so they stay on the XLA path (docs/PERF.md)
-            while (i < len(params["encoder"])
-                   and self.block_channels[i][0] == 1
-                   and e_em.shape[-1] // 3 >= 256):
-                cin, cout = self.block_channels[i]
-                fp = FR.FusedBlockParams(
-                    params["encoder"][i], state["encoder"][i], cin, cout,
-                    dtype=self.compute_dtype)
-                e_em = FR.fused_residual_block_em(e_em, fp)
-                i += 1
-            e = FR.from_encoder_major(e_em)
-            for k in range(i, len(params["encoder"])):
-                e, _ = L.residual_block_apply(
-                    params["encoder"][k], state["encoder"][k], e,
-                    first=(k == 0), train=False)
-            new_state["encoder"] = state["encoder"]
-        else:
-            enc_s = []
-            e = x
-            start_block = 0
-            if (self.use_fused_frontend and not train
-                    and self.encoder_type == "residual"
-                    and self.b0_chunks > 1
-                    and e.shape[0] % self.b0_chunks == 0):
-                nc = self.b0_chunks
-                b = e.shape[0]
-
+        enc_s = []
+        e = x
+        start_block = 0
+        if (self.use_fused_frontend and not train
+                and self.encoder_type == "residual"
+                and self.b0_chunks > 1):
+            b = e.shape[0]
+            nc = self.b0_chunks
+            if b % nc:
+                # chunking exists to keep the batch>=256 fused-frontend
+                # program under HBM; rather than silently reverting to the
+                # unchunked block0 (and possibly OOMing), fall back to the
+                # largest divisor of the batch <= the requested count
+                nc = max(d for d in range(1, nc + 1) if b % d == 0)
+                import warnings
+                warnings.warn(
+                    f"b0_chunks={self.b0_chunks} does not divide batch "
+                    f"size {b}; using {nc} chunks instead", stacklevel=2)
+            if nc > 1:
                 def _blk0(h):
-                    if self._aug_block_ok(0, params["encoder"][0]):
+                    bp0 = params["encoder"][0]
+                    if self._aug_block_ok(0, bp0):
                         return L.residual_block_apply_aug(
-                            params["encoder"][0], state["encoder"][0], h,
-                            first=True)
+                            bp0, state["encoder"][0], h, first=True)
+                    if (self.use_poly_blocks
+                            and "conv_downsample" in bp0):
+                        # keep the poly eval form consistent with the
+                        # later downsample blocks when both options are on
+                        return L.residual_block_apply_poly(
+                            bp0, state["encoder"][0], h, first=True)
                     out, _ = L.residual_block_apply(
-                        params["encoder"][0], state["encoder"][0], h,
+                        bp0, state["encoder"][0], h,
                         first=True, train=False)
                     return out
 
@@ -276,34 +262,34 @@ class AasistModel:
                 e = e.reshape((b,) + e.shape[2:])
                 enc_s.append(state["encoder"][0])
                 start_block = 1
-            for i, bp in enumerate(params["encoder"]):
-                if i < start_block:
-                    continue
-                if not train and self._aug_block_ok(i, bp):
-                    e = L.residual_block_apply_aug(
-                        bp, state["encoder"][i], e, first=(i == 0))
-                    enc_s.append(state["encoder"][i])
-                    continue
-                if (self.use_poly_blocks and not train
-                        and self.encoder_type == "residual"
-                        and "conv_downsample" in bp):
-                    e = L.residual_block_apply_poly(
-                        bp, state["encoder"][i], e, first=(i == 0))
-                    enc_s.append(state["encoder"][i])
-                    continue
-                if self.encoder_type == "res2net":
-                    block = functools.partial(
-                        L.res2net_block_apply, first=(i == 0),
-                        width=self.res2net_width, scale=self.res2net_scale,
-                        train=train)
-                else:
-                    block = functools.partial(
-                        L.residual_block_apply, first=(i == 0), train=train)
-                if train and self.remat:
-                    block = jax.checkpoint(block, static_argnums=())
-                e, bs = block(bp, state["encoder"][i], e)
-                enc_s.append(bs)
-            new_state["encoder"] = enc_s                  # e: (B, C, F, T)
+        for i, bp in enumerate(params["encoder"]):
+            if i < start_block:
+                continue
+            if not train and self._aug_block_ok(i, bp):
+                e = L.residual_block_apply_aug(
+                    bp, state["encoder"][i], e, first=(i == 0))
+                enc_s.append(state["encoder"][i])
+                continue
+            if (self.use_poly_blocks and not train
+                    and self.encoder_type == "residual"
+                    and "conv_downsample" in bp):
+                e = L.residual_block_apply_poly(
+                    bp, state["encoder"][i], e, first=(i == 0))
+                enc_s.append(state["encoder"][i])
+                continue
+            if self.encoder_type == "res2net":
+                block = functools.partial(
+                    L.res2net_block_apply, first=(i == 0),
+                    width=self.res2net_width, scale=self.res2net_scale,
+                    train=train)
+            else:
+                block = functools.partial(
+                    L.residual_block_apply, first=(i == 0), train=train)
+            if train and self.remat:
+                block = jax.checkpoint(block, static_argnums=())
+            e, bs = block(bp, state["encoder"][i], e)
+            enc_s.append(bs)
+        new_state["encoder"] = enc_s                      # e: (B, C, F, T)
 
         t0, t1, t2 = self.temperatures[:3]
         r0, r1, r2 = self.pool_ratios[:3]

@@ -97,7 +97,10 @@ class AasistRobustModel:
         params["encoder"], state["encoder"] = ep, es
         params["denoising"], state["denoising"] = _denoise_init(
             next(ks), d_enc)
-        params["pos_S"] = jax.random.normal(next(ks), (1, 23, d_enc))
+        # derived (not the reference's hardcoded 23, AASIST.py:774) so
+        # shrunken filts[0] configs stay runnable; identical at 70
+        params["pos_S"] = jax.random.normal(
+            next(ks), (1, self.filts[0] // 3, d_enc))
         params["master1"] = jax.random.normal(next(ks), (1, 1, g0))
         params["master2"] = jax.random.normal(next(ks), (1, 1, g0))
         for name, (i_d, o_d) in (("GAT_layer_S", (d_enc, g0)),

@@ -33,6 +33,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     if n_data is None:
         n_data = len(devices) // n_model
     use = n_data * n_model
+    if use < len(devices):
+        # a mis-sized config would otherwise quietly run on fewer chips
+        import warnings
+        warnings.warn(
+            f"make_mesh(n_data={n_data}, n_model={n_model}) uses only "
+            f"{use} of {len(devices)} available devices; the remaining "
+            f"{len(devices) - use} are idle", stacklevel=2)
     grid = np.asarray(devices[:use]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

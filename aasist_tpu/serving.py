@@ -38,7 +38,6 @@ class Scorer:
 
     def __init__(self, model, params, model_state, *, batch_size: int = 128,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
-                 use_fused_encoder: Optional[bool] = None,
                  use_fused_frontend: Optional[bool] = None,
                  mesh=None):
         import copy
@@ -92,10 +91,6 @@ class Scorer:
                 # measured win.  A config-set value > 1 is respected.
                 if model.b0_chunks == 1 and batch_size >= 256:
                     model.b0_chunks = 2
-        if use_fused_encoder is not None and hasattr(
-                model, "use_fused_encoder"):
-            model = copy.copy(model)
-            model.use_fused_encoder = use_fused_encoder
         self.model = model
         self._params = params
         self._state = model_state

@@ -242,13 +242,23 @@ def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
         else:
             x_in, y2, dur2, lam = x, y, dur, 1.0
 
+        if robust.use_mixup and use_duration:
+            # ALMFT's margin is m = A*dur + B; for a mixed waveform the
+            # "duration" of either source row alone is ill-defined, so
+            # both loss terms score the sample at the lam-weighted mixed
+            # duration — the margin tracks the actual mixed content
+            # (tested in tests/test_train_stack.py)
+            dur_mixed = lam * dur + (1.0 - lam) * dur2
+        else:
+            dur_mixed = dur
+
         def batch_loss(p, xb, step_rng):
             (_, logits), new_ms = model.apply(
                 cast(p), model_state_c, xb, train=True, rng=step_rng,
                 freq_aug=freq_aug)
             logits = logits.astype(jnp.float32)
-            d = dur if use_duration else None
-            d2 = dur2 if use_duration else None
+            d = dur_mixed if use_duration else None
+            d2 = dur_mixed if use_duration else None
             loss = loss_fn(logits, y, d)
             if robust.use_mixup:
                 loss = lam * loss + (1 - lam) * loss_fn(logits, y2, d2)
@@ -358,7 +368,23 @@ def produce_scores(model, params, model_state, batcher,
 
         def dispatch(group):
             gx, gu = group
-            return chained_step(params, model_state, jnp.stack(gx)), gu
+            try:
+                out = chained_step(params, model_state, jnp.stack(gx))
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"produce_scores(chain={chain}) needs an eval_step "
+                    "built by make_chained_eval_step(model, chain) over "
+                    f"(chain, B, L) inputs; tracing it failed: {e}") from e
+            if out.ndim != 3 or out.shape[0] != chain:
+                # a plain make_eval_step result passed with chain > 1
+                # would otherwise fail later with an opaque shape error
+                # (or silently mis-score if broadcasting happens to work)
+                raise ValueError(
+                    f"produce_scores(chain={chain}) needs an eval_step "
+                    "built by make_chained_eval_step(model, chain) — the "
+                    f"provided step returned shape {out.shape}, expected "
+                    f"({chain}, B, n_classes)")
+            return out, gu
 
         def drain(ticket):
             logits, utt_lists = ticket

@@ -27,10 +27,62 @@ FIXED_LEN = 64600
 TARGET_BASELINE = 5000.0
 
 
+def _acquire_backend():
+    """``jax.devices()`` with retry/backoff on transient init failures.
+
+    Round 2's official bench recorded 0 because the tunneled TPU backend
+    failed to initialize ONCE at snapshot time (BENCH_r02.json:
+    "Unable to initialize backend 'axon': UNAVAILABLE").  JAX caches
+    backend-init errors, so between attempts the backend registry is
+    cleared (private API, guarded); if that API ever disappears, the
+    process re-execs itself for a genuinely fresh attempt, bounded by
+    an env counter.  Five attempts over ~4 min by default.
+    """
+    import jax
+
+    attempts = max(1, int(os.environ.get("BENCH_INIT_ATTEMPTS", 5)))
+    delays = (15.0, 30.0, 60.0, 120.0)
+    last = None
+    for i in range(attempts):
+        try:
+            _HEARTBEAT[0] = time.time()
+            devs = jax.devices()
+            _HEARTBEAT[0] = time.time()
+            return devs
+        except Exception as e:  # init/tunnel errors surface here
+            last = e
+            msg = str(e)
+            transient = ("UNAVAILABLE" in msg
+                         or "Unable to initialize" in msg
+                         or "DEADLINE" in msg
+                         or "UNKNOWN" in msg
+                         or "backend" in msg.lower())
+            if not transient or i == attempts - 1:
+                raise
+            delay = delays[min(i, len(delays) - 1)]
+            print(f"bench: backend init failed (attempt {i + 1}/{attempts}),"
+                  f" retrying in {delay:.0f}s: {msg[:200]}",
+                  file=sys.stderr, flush=True)
+            _HEARTBEAT[0] = time.time()
+            time.sleep(delay)
+            try:
+                import jax._src.xla_bridge as xb
+                xb._clear_backends()
+            except Exception:
+                n = int(os.environ.get("BENCH_INIT_REEXEC", 0))
+                if n >= attempts:
+                    raise last
+                os.environ["BENCH_INIT_REEXEC"] = str(n + 1)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+    raise last  # unreachable; keeps type-checkers happy
+
+
 def main() -> int:
     import jax
 
     from aasist_tpu.registry import build_model
+
+    _acquire_backend()
 
     dtype = os.environ.get("BENCH_DTYPE", "bf16")
     arch = os.environ.get("BENCH_ARCH", "AASIST")
@@ -46,7 +98,6 @@ def main() -> int:
     else:
         # BENCH_ARCH names a config file stem (AASIST-L, RawNet2_baseline,
         # RawGATST_baseline, ...): zoo throughput with random-init weights
-        import json
         cpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "configs", f"{arch}.conf")
         conf = dict(json.load(open(cpath))["model_config"])
@@ -150,6 +201,14 @@ def main() -> int:
                 break
             except Exception as e:
                 msg = str(e)
+                if ("UNAVAILABLE" in msg or "DEADLINE" in msg) and attempt < 2:
+                    # transient tunnel hiccup mid-run: back off and retry
+                    # the SAME configuration before dropping any flag
+                    print(f"bench: transient error, retrying in 15s: "
+                          f"{msg[:160]}", file=sys.stderr, flush=True)
+                    _HEARTBEAT[0] = time.time()
+                    time.sleep(15.0)
+                    continue
                 if (bconf.pop("use_fused_frontend", None)
                         or bconf.pop("use_aug_blocks", None)):
                     # perf-variant trouble: drop one flag, rebuild on

@@ -41,7 +41,11 @@ struct BitReader {
   inline void fill() {
     // 32-bit-wide refill: one bswap'd load instead of four byte loads
     // (fill runs on nearly every read; measured part of the
-    // 1023 -> ~1800 files/s/core hot-path pass)
+    // 1023 -> ~1800 files/s/core hot-path pass).  The bswap undoes a
+    // little-endian load of big-endian FLAC bytes, so it is only correct
+    // on little-endian hosts; big-endian falls through to the portable
+    // byte loop below.
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
     while (n <= 32 && load_pos + 4 <= size) {
       uint32_t w;
       std::memcpy(&w, data + load_pos, 4);
@@ -49,6 +53,7 @@ struct BitReader {
       n += 32;
       load_pos += 4;
     }
+#endif
     while (n <= 56 && load_pos < size) {
       acc = (acc << 8) | data[load_pos++];
       n += 8;

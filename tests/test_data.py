@@ -164,3 +164,74 @@ def test_missing_audio_raises(fixture_dir):
     store = D.AudioStore(root / "ASVspoof2019_LA_train")
     with pytest.raises(FileNotFoundError):
         store.read("LA_T_does_not_exist")
+
+
+def test_abandoned_iteration_reclaims_producer_thread(fixture_dir):
+    """Breaking out of a batcher mid-epoch must not leave its producer
+    thread blocked on the prefetch queue forever (round-2 review weak #5:
+    repeated aborted evals leaked a thread + buffers each)."""
+    import gc
+    import threading
+    import time
+
+    root, ids = fixture_dir
+    store = D.AudioStore(root / "ASVspoof2019_LA_eval")
+
+    def extra_threads():
+        return {t for t in threading.enumerate()
+                if t is not threading.main_thread() and t.is_alive()}
+
+    base = extra_threads()
+    for _ in range(3):  # repeat: leaks accumulate, one-offs may hide
+        b = D.EvalBatcher(store, ids["eval"], batch_size=2, prefetch=1)
+        it = iter(b)
+        next(it)          # producer is now blocked on the full queue
+        it.close()        # abandon mid-epoch
+    gc.collect()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = extra_threads() - base
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer threads leaked: {leaked}"
+
+
+def test_abandoned_train_iteration_reclaims_thread(fixture_dir):
+    import gc
+    import threading
+    import time
+
+    root, ids = fixture_dir
+    store = D.AudioStore(root / "ASVspoof2019_LA_train")
+    entries = P.parse_protocol(
+        root / "ASVspoof2019_LA_cm_protocols"
+        / "ASVspoof2019.LA.cm.train.trn.txt")
+    labels, _ = P.labels_and_files(entries)
+
+    before = set(threading.enumerate())
+    b = D.TrainBatcher(store, ids["train"], labels, batch_size=2, seed=7,
+                       prefetch=1)
+    it = iter(b)
+    next(it)
+    it.close()
+    gc.collect()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = {t for t in set(threading.enumerate()) - before
+                  if t.is_alive()}
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer threads leaked: {leaked}"
+
+
+def test_batcher_error_still_raises(fixture_dir):
+    """The closeable pump must still surface producer errors (the
+    zero-tensor-on-error reference path is deliberately not replicated)."""
+    root, ids = fixture_dir
+    store = D.AudioStore(root / "ASVspoof2019_LA_eval")
+    b = D.EvalBatcher(store, list(ids["eval"]) + ["LA_E_MISSING"],
+                      batch_size=3)
+    with pytest.raises(FileNotFoundError):
+        list(b)

@@ -36,60 +36,28 @@ def golden():
 
 
 def test_full_pipeline_matches_torch_reference(golden, tmp_path_factory):
-    import jax
+    """Drives tools/verify_reference_parity.py's synthetic dry-run — the
+    same harness a user points at a real LA corpus with --database_path —
+    and asserts its verdict plus the underlying golden agreement."""
+    import sys
 
-    from aasist_tpu.data import dataset as D
-    from aasist_tpu.data import synthetic
-    from aasist_tpu.data.protocol import parse_protocol, trial_metadata
-    from aasist_tpu.evaluation.metrics import calculate_tdcf_eer
-    from aasist_tpu.evaluation.scorefile import write_score_file
-    from aasist_tpu.registry import build_model
-    from aasist_tpu.train.checkpoints import load_weights
-    from aasist_tpu.train.loop import produce_scores
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    try:
+        import verify_reference_parity as vrp
+    finally:
+        sys.path.pop(0)
 
     tmp = tmp_path_factory.mktemp("e2e_diff")
-    root = tmp / "LA"
-    synthetic.generate(root, n_train=N_TRAIN, n_dev=N_DEV, n_eval=N_EVAL,
-                       seed=CORPUS_SEED)
+    verdict = vrp.run_synthetic(batch_size=8, out_dir=str(tmp))
 
-    proto = (root / "ASVspoof2019_LA_cm_protocols" /
-             "ASVspoof2019.LA.cm.eval.trl.txt")
-    entries = parse_protocol(proto)
-    files = [e.utt_id for e in entries]
-    assert files == [str(u) for u in golden["utt_ids"]]
-
-    conf = {
-        "architecture": "AASIST",
-        "first_conv": 128,
-        "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
-        "gat_dims": [64, 32],
-        "pool_ratios": [0.5, 0.7, 0.5, 0.5],
-        "temperatures": [2.0, 2.0, 100.0, 100.0],
-    }
-    model = build_model(conf)
-    ckpt = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
-                        "AASIST.npz")
-    params, state = load_weights(ckpt)
-
-    batcher = D.EvalBatcher(
-        D.AudioStore(root / "ASVspoof2019_LA_eval"), files,
-        batch_size=8)
-    ids, scores = produce_scores(model, params, state, batcher)
-    assert ids == files
-
-    scores = np.asarray(scores, np.float64)
-    ref_scores = np.asarray(golden["scores"], np.float64)
-    np.testing.assert_allclose(scores, ref_scores, atol=1e-4)
-    # identical ranking => identical DET curve => identical EER/t-DCF
-    assert np.array_equal(np.argsort(scores), np.argsort(ref_scores))
-
-    cm_path = tmp / "scores.txt"
-    write_score_file(cm_path, ids, scores.tolist(),
-                     trial_metadata(entries))
-    asv_path = (root / "ASVspoof2019_LA_asv_scores" /
-                "ASVspoof2019.LA.asv.eval.gi.trl.scores.txt")
-    eer, min_tdcf = calculate_tdcf_eer(cm_path, asv_path, printout=False)
-
-    assert eer == pytest.approx(float(golden["eer"]), abs=1e-10)
-    assert min_tdcf == pytest.approx(float(golden["min_tdcf"]), abs=1e-10)
-    del jax  # imported to assert the CPU backend is configured (conftest)
+    assert verdict["pass"], verdict
+    assert verdict["max_abs_score_diff"] < 1e-4
+    assert verdict["rank_identical"]
+    assert verdict["eer_pct"] == pytest.approx(float(golden["eer"]),
+                                               abs=1e-10)
+    assert verdict["min_tdcf"] == pytest.approx(float(golden["min_tdcf"]),
+                                                abs=1e-10)
+    # the harness and this test must agree on the oracle corpus
+    assert (vrp.CORPUS_SEED, vrp.N_TRAIN, vrp.N_DEV, vrp.N_EVAL) == (
+        CORPUS_SEED, N_TRAIN, N_DEV, N_EVAL)

@@ -135,3 +135,19 @@ def test_data_parallel_train_step_runs():
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(jax.tree_util.tree_leaves(params),
                         jax.tree_util.tree_leaves(p2)))
+
+
+def test_make_mesh_warns_on_dropped_devices():
+    """A mis-sized (n_data, n_model) must not silently idle chips
+    (round-2 review weak #6)."""
+    import warnings
+
+    devices = jax.devices()
+    if len(devices) < 3:
+        pytest.skip("needs >=3 devices")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mesh = make_mesh(n_data=2, n_model=1, devices=devices)
+    assert mesh.devices.size == 2
+    assert any("idle" in str(x.message) for x in w), (
+        "expected a dropped-devices warning")

@@ -76,11 +76,11 @@ def test_scorer_does_not_mutate_shared_model():
     # the shared object is untouched; the scorer holds a configured copy
     assert model.compute_dtype == jnp.float32
     assert s_bf16.model.compute_dtype == jnp.bfloat16
-    s_fused_off = Scorer(model, *model.init(jax.random.PRNGKey(0)),
-                         batch_size=2, window=16000, bf16=False,
-                         use_fused_encoder=True)
-    assert model.use_fused_encoder is False
-    assert s_fused_off.model.use_fused_encoder is True
+    s_fe_on = Scorer(model, *model.init(jax.random.PRNGKey(0)),
+                     batch_size=2, window=16000, bf16=False,
+                     use_fused_frontend=True)
+    assert model.use_fused_frontend is False
+    assert s_fe_on.model.use_fused_frontend is True
 
 
 def test_scorer_on_data_parallel_mesh():

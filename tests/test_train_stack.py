@@ -311,3 +311,47 @@ def test_chained_train_step_matches_sequential():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a, np.float64), np.asarray(b, np.float64),
             rtol=2e-3, atol=2e-5), p1, p2)
+
+
+def test_mixup_duration_margin_uses_lam_weighted_duration():
+    """use_mixup x ALMFT durations: both loss terms score the mixed
+    waveform at the lam-weighted mixed duration (a single source row's
+    duration is ill-defined for a mixed sample) — train/loop.py
+    _make_loss_and_grads."""
+    from aasist_tpu.train.loop import RobustOptions, _make_loss_and_grads
+
+    class _Stub:
+        def apply(self, params, state, x, train=False, rng=None,
+                  freq_aug=False):
+            s = x.sum(-1) * params["w"]
+            return (None, jnp.stack([s, -s], axis=-1)), state
+
+    seen = []
+
+    def loss_fn(logits, labels, durations=None, mask=None):
+        seen.append(durations)  # dur_mixed is computed eagerly -> concrete
+        return jnp.mean(durations) + 0.0 * logits.sum()
+
+    robust = RobustOptions(use_mixup=True, mixup_alpha=0.3)
+    run = _make_loss_and_grads(_Stub(), loss_fn, freq_aug=False,
+                               use_duration=True, robust=robust)
+    params = {"w": jnp.float32(1.0)}
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 16)),
+                    jnp.float32)
+    y = jnp.asarray([0, 1, 0, 1])
+    dur = jnp.asarray([1.0, 2.0, 3.0, 4.0], jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    (loss, _), _ = run(params, {}, x, y, dur, rng)
+
+    # replicate the loop's rng walk to get lam/perm
+    _, mix_rng, _ = jax.random.split(rng, 3)
+    lam = jax.random.beta(mix_rng, 0.3, 0.3)
+    perm = jax.random.permutation(mix_rng, 4)
+    dm = lam * dur + (1 - lam) * dur[perm]
+    # loss = lam*mean(dm) + (1-lam)*mean(dm) = mean(dm)
+    assert float(loss) == pytest.approx(float(jnp.mean(dm)), rel=1e-6)
+    # both terms saw the SAME lam-weighted duration vector
+    assert len(seen) == 2
+    np.testing.assert_allclose(np.asarray(seen[0]), np.asarray(dm),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(seen[1]), np.asarray(seen[0]))

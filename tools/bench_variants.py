@@ -6,7 +6,7 @@ combination, pipelined dispatch + in-jit reduction (pure device time).
 Usage: python tools/bench_variants.py [B] [flags...]
   flags: comma-separated config overrides per variant, e.g.
     python tools/bench_variants.py 256 none use_fused_frontend \
-        use_fused_frontend,use_fused_encoder
+        use_fused_frontend,use_aug_blocks
 """
 
 from __future__ import annotations
