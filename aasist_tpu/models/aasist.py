@@ -89,6 +89,13 @@ class AasistModel:
         # sequentially per chunk, capping temp memory (docs/PERF.md r2)
         self.b0_chunks = int(model_config.get(
             "b0_chunks", 2 if self.use_fused_frontend else 1))
+        # NOTE (round 3): mid-block Pallas kernels for block0 (a fused
+        # frontend+conv1 head and a selu+concat epilogue) were built,
+        # parity-tested, and measured SLOWER — any kernel inserted
+        # between block0's convs breaks the XLA fusion web and the
+        # neighbouring conv pays a 20-30 ms/batch-128 opaque-boundary
+        # tax (docs/PERF.md round 3).  They were removed; only the
+        # pre-conv1 fused frontend survives as a kernel insertion point.
         # eval-only polyphase conv2+pool for downsample blocks (stride-3
         # conv with 3C phase kernels + channel-block max) — removes the
         # gather-class maxpool and runs conv2 at 3x output channels
