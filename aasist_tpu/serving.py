@@ -20,6 +20,21 @@ import numpy as np
 
 from aasist_tpu.data.dataset import FIXED_EVAL_LEN, pad_to_fixed
 
+# Measured-best serving batch per architecture on TPU v5e (docs/PERF.md
+# zoo table).  The conv-pyramid models (AASIST family, RawGAT-ST) peak
+# at 128 — above it the block0 temporaries push the program onto the
+# HBM edge and XLA schedules remat/copies; RawNet2's 1-D trunk has no
+# 2-D pyramid and prefers the bigger batch (5172 utt/s at 256 vs 4895
+# at 128).  Keys are ``model_config["architecture"]`` registry names;
+# unknown architectures fall back to 128.
+SERVING_BATCH_DEFAULTS = {
+    "AASIST": 128,
+    "AASIST2": 128,
+    "AASIST_Robust": 128,
+    "RawNet2Spoof": 256,
+    "RawNetGatSpoofST": 128,
+}
+
 
 class Scorer:
     """Warm batched scorer around a model + weights.
@@ -27,16 +42,17 @@ class Scorer:
     One jit specialization (fixed batch x fixed window); ragged inputs are
     padded by row repetition and masked out.  ``bf16=True`` runs the conv
     trunk in bfloat16 (the TPU deployment default; EER-neutral, see
-    docs/PERF.md).  The default batch of 128 is the measured v5e sweet
-    spot for the AASIST forward — large enough to saturate the MXU,
-    small enough that XLA schedules without HBM-pressure remat/copies
-    (docs/PERF.md headline table).  ``mesh`` enables data-parallel
+    docs/PERF.md).  ``batch_size=None`` picks the measured-best v5e
+    batch for the model's architecture (``SERVING_BATCH_DEFAULTS``:
+    128 for the conv-pyramid models, 256 for RawNet2); pass an explicit
+    value to pin it.  ``mesh`` enables data-parallel
     serving: the batch shards over the mesh's data axis with replicated
     parameters (the training SPMD layout), scaling throughput across
     chips; ``batch_size`` must be divisible by the data-axis size.
     """
 
-    def __init__(self, model, params, model_state, *, batch_size: int = 128,
+    def __init__(self, model, params, model_state, *,
+                 batch_size: Optional[int] = None,
                  window: int = FIXED_EVAL_LEN, bf16: bool = True,
                  use_fused_frontend: Optional[bool] = None,
                  mesh=None):
@@ -47,6 +63,9 @@ class Scorer:
 
         from aasist_tpu.nn import with_compute_dtype
 
+        if batch_size is None:
+            arch = getattr(model, "config", {}).get("architecture")
+            batch_size = SERVING_BATCH_DEFAULTS.get(arch, 128)
         self.batch_size = batch_size
         self.window = window
         # data-parallel serving: with a (data, model) mesh, the batch

@@ -147,3 +147,30 @@ def test_scorer_mesh_with_bf16_keeps_fused_frontend_off():
     out = s.score_batch(rng.standard_normal((8, 16000))
                         .astype(np.float32) * 0.05)
     assert np.all(np.isfinite(out))
+
+
+def test_per_arch_serving_batch_defaults():
+    """batch_size=None resolves to the measured-best per-architecture
+    batch (SERVING_BATCH_DEFAULTS); explicit values are untouched."""
+    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
+
+    model = build_model(TINY)
+    params, state = model.init(jax.random.PRNGKey(0))
+    s = Scorer(model, params, state, window=16000, bf16=False)
+    assert s.batch_size == SERVING_BATCH_DEFAULTS["AASIST"] == 128
+
+    rn_conf = {
+        "architecture": "RawNet2Spoof", "nb_samp": 16000,
+        "first_conv": 251, "in_channels": 1,
+        "filts": [20, [20, 20], [20, 128], [128, 128]],
+        "blocks": [2, 4], "nb_fc_node": 16, "gru_node": 16,
+        "nb_gru_layer": 1, "nb_classes": 2,
+    }
+    rn = build_model(rn_conf)
+    rp, rs = rn.init(jax.random.PRNGKey(1))
+    s2 = Scorer(rn, rp, rs, window=16000, bf16=False)
+    assert s2.batch_size == SERVING_BATCH_DEFAULTS["RawNet2Spoof"] == 256
+
+    s3 = Scorer(model, params, state, batch_size=4, window=16000,
+                bf16=False)
+    assert s3.batch_size == 4
