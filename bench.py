@@ -170,10 +170,17 @@ def main() -> int:
 
     value = None
     batch_used = None
-    for batch in (int(os.environ.get("BENCH_BATCH", 0)),
-                  128, 256, 64, 32, 16):
-        if batch <= 0 or value is not None:
+    # try the architecture's measured-best serving batch first (e.g.
+    # RawNet2 prefers 256 — SERVING_BATCH_DEFAULTS), then the ladder
+    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
+    arch_best = SERVING_BATCH_DEFAULTS.get(conf.get("architecture"), 128)
+    ladder = [int(os.environ.get("BENCH_BATCH", 0)), arch_best]
+    ladder += [b for b in (128, 256, 64, 32, 16) if b != arch_best]
+    seen = set()
+    for batch in ladder:
+        if batch <= 0 or value is not None or batch in seen:
             continue
+        seen.add(batch)
         bconf, model = build_for_batch(batch)
         fwd = jax.jit(forward)
         x = rng.standard_normal((G, batch, FIXED_LEN)).astype(np.float32)

@@ -141,3 +141,38 @@ def test_training_with_chained_steps(tmp_path, corpus):
     # scores are finite floats
     for line in scores:
         float(line.split()[-1])
+
+
+@pytest.mark.slow
+def test_fast_recipe_training_neutrality(tmp_path, corpus):
+    """VERDICT r2 item 5: the promoted fast recipe (2x batch + bf16 mixed
+    precision + remat; configs/AASIST_tpu_fast.conf shape) must train to
+    the same synthetic-corpus quality as the reference-shaped recipe.
+
+    The corpus is tiny so EER granularity is coarse — the assertion is
+    that the fast recipe reaches an equal-or-better best-dev EER under
+    the same seed and epoch budget, i.e. the throughput knobs
+    (batch/mixed_precision/remat/accum) do not corrupt training.
+    """
+    import json as _json
+
+    from aasist_tpu import cli
+
+    def run(tag, **overrides):
+        d = tmp_path / tag
+        d.mkdir()
+        conf_path = _make_config(d, corpus, num_epochs=2, **overrides)
+        rc = cli.main(["--config", str(conf_path),
+                       "--output_dir", str(d / "exp"), "--seed", "11"])
+        assert rc == 0
+        run_dir = next((d / "exp").iterdir())
+        meta = _json.loads(
+            (run_dir / "train_state" / "meta.json").read_text())
+        return meta["best_dev_eer"]
+
+    eer_ref = run("ref", batch_size=4)
+    eer_fast = run("fast", batch_size=8, mixed_precision="True",
+                   grad_accum_steps=2,
+                   model_config=dict(TINY_MODEL, remat=True))
+    assert np.isfinite(eer_fast) and 0.0 <= eer_fast <= 100.0
+    assert eer_fast <= eer_ref + 1e-9, (eer_fast, eer_ref)
