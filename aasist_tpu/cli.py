@@ -61,12 +61,30 @@ def build_loaders(cfg, seed: int, mesh=None):
         batch_size=cfg.batch_size, seed=seed, dcs_buckets=buckets,
         dcs_min=dcs.min_samples, dcs_max=dcs.max_samples,
         fixed_len=fixed_len, sharding=sharding)
+    # dev/eval batch size is decoupled from the train batch size: scoring
+    # wants the measured-best serving batch per architecture (128/256 —
+    # serving.SERVING_BATCH_DEFAULTS), not the reference's train batch of
+    # 24.  Overridable via the "eval_batch_size" config extra; on non-TPU
+    # backends (tests, CPU smoke runs) the train batch is kept — there is
+    # no dispatch-granularity win to buy and small batches stay fast.
+    import jax
+
+    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
+    arch = cfg.model_config.get("architecture")
+    default_eval_bs = (SERVING_BATCH_DEFAULTS.get(arch, 128)
+                       if jax.default_backend() == "tpu"
+                       else cfg.batch_size)
+    eval_bs = int(cfg.extras.get("eval_batch_size", default_eval_bs))
+    if mesh is not None:
+        # the batch axis must divide the mesh's data axis
+        d = mesh.shape.get("data", 1)
+        eval_bs = max(d, (eval_bs // d) * d)
     dev = D.EvalBatcher(
         D.AudioStore(cfg.audio_dir("dev")), dev_files,
-        batch_size=cfg.batch_size, sharding=sharding)
+        batch_size=eval_bs, sharding=sharding)
     ev = D.EvalBatcher(
         D.AudioStore(cfg.audio_dir("eval")), eval_files,
-        batch_size=cfg.batch_size, sharding=sharding)
+        batch_size=eval_bs, sharding=sharding)
     return Loaders(train=train, dev=dev, eval=ev,
                    dev_trial_meta=P.trial_metadata(dev_entries),
                    eval_trial_meta=P.trial_metadata(eval_entries))

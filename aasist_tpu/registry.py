@@ -53,7 +53,6 @@ def _ensure_populated():
     global _populated
     if _populated:
         return
-    _populated = True
 
     from aasist_tpu.models.aasist import AasistModel
 
@@ -67,29 +66,25 @@ def _ensure_populated():
         cfg.setdefault("encoder", "res2net")
         return AasistModel(cfg)
 
-    try:
-        from aasist_tpu.models.aasist_robust import AasistRobustModel
+    # imports are unconditional: an import bug in a model module must fail
+    # loudly here, not silently shrink the zoo (a swallowed ImportError
+    # would surface later as a misleading "unknown architecture" KeyError)
+    from aasist_tpu.models.aasist_robust import AasistRobustModel
+    from aasist_tpu.models.rawnet2 import RawNet2Model
+    from aasist_tpu.models.rawgat_st import RawGatStModel
 
-        @register("AASIST_Robust")
-        def _robust(cfg):
-            return AasistRobustModel(cfg)
-    except ImportError:
-        pass
+    @register("AASIST_Robust")
+    def _robust(cfg):
+        return AasistRobustModel(cfg)
 
-    try:
-        from aasist_tpu.models.rawnet2 import RawNet2Model
+    @register("RawNet2Spoof")
+    def _rawnet2(cfg):
+        return RawNet2Model(cfg)
 
-        @register("RawNet2Spoof")
-        def _rawnet2(cfg):
-            return RawNet2Model(cfg)
-    except ImportError:
-        pass
+    @register("RawNetGatSpoofST")
+    def _rawgat(cfg):
+        return RawGatStModel(cfg)
 
-    try:
-        from aasist_tpu.models.rawgat_st import RawGatStModel
-
-        @register("RawNetGatSpoofST")
-        def _rawgat(cfg):
-            return RawGatStModel(cfg)
-    except ImportError:
-        pass
+    # only mark populated once every import + registration succeeded, so a
+    # transient import failure does not lock in a partial registry
+    _populated = True

@@ -147,6 +147,8 @@ class Scorer:
     def score_batch(self, batch: np.ndarray) -> np.ndarray:
         """Score (n, window) waveforms, n <= batch_size."""
         n = batch.shape[0]
+        if n == 0:
+            return np.zeros((0,), np.float32)
         if batch.shape[1] != self.window:
             raise ValueError(
                 f"expected window {self.window}, got {batch.shape[1]}")

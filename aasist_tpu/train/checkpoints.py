@@ -8,7 +8,9 @@ SURVEY.md §5 "Checkpoint / resume").  This framework saves:
     :mod:`aasist_tpu.utils.pytree_io` — the equivalent of the reference's
     ``.pth`` artifacts, loadable torch-free;
   * full train state (params, model state, optimizer state, step, epoch,
-    best metrics) through orbax for atomic save + true resume.
+    best metrics) as a directory of ``.npz`` files with crash-safe
+    save-then-swap semantics and true resume; an optional orbax backend
+    lives in :mod:`aasist_tpu.train.orbax_compat`.
 """
 
 from __future__ import annotations
@@ -62,9 +64,17 @@ def _meta_of(ckpt: TrainCheckpoint) -> dict:
 
 
 def save_train_state(directory, ckpt: TrainCheckpoint) -> None:
-    """Atomic full-state save (write to tmp dir, rename over)."""
+    """Crash-safe full-state save.
+
+    Write-to-tmp, then move the previous state aside (``.old``), swap the
+    tmp dir into place, and only then delete the old state — at every
+    instant at least one complete state exists on disk under a name
+    ``load_train_state`` knows how to find (it falls back to ``.old``
+    if a crash between the two renames left no primary directory).
+    """
     directory = Path(directory)
     tmp = directory.with_name(directory.name + ".tmp")
+    old = directory.with_name(directory.name + ".old")
     if tmp.exists():
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
@@ -76,9 +86,13 @@ def save_train_state(directory, ckpt: TrainCheckpoint) -> None:
         np.savez(tmp / "swa.npz",
                  **pytree_io.flatten_tree(ckpt.swa_avg))
     (tmp / "meta.json").write_text(json.dumps(_meta_of(ckpt)))
+    if old.exists():
+        shutil.rmtree(old)
     if directory.exists():
-        shutil.rmtree(directory)
+        os.replace(directory, old)
     os.replace(tmp, directory)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def _opt_state_to_tree(opt_state):
@@ -97,6 +111,12 @@ def _tree_to_opt_state(tree, template_opt_state):
 
 def load_train_state(directory, template_opt_state) -> TrainCheckpoint:
     directory = Path(directory)
+    if not directory.exists():
+        # a crash between save_train_state's two renames leaves only the
+        # ``.old`` copy — recover from it
+        old = directory.with_name(directory.name + ".old")
+        if old.exists():
+            directory = old
     meta = json.loads((directory / "meta.json").read_text())
     params, model_state = load_weights(directory / "weights.npz")
     opt_flat = dict(np.load(directory / "opt_state.npz"))

@@ -208,6 +208,15 @@ def make_chained_train_step(model, loss_fn, optimizer, *, chain: int,
     return jax.jit(chained, donate_argnums=(0, 1, 2))
 
 
+def _mixup_draw(mix_rng, alpha: float, n: int):
+    """Mixup's (lam, perm) from one key — independent sub-keys for the two
+    draws (reusing one key couples the beta sample and the permutation)."""
+    lam_rng, perm_rng = jax.random.split(mix_rng)
+    lam = jax.random.beta(lam_rng, alpha, alpha)
+    perm = jax.random.permutation(perm_rng, n)
+    return lam, perm
+
+
 def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
                          use_duration: bool, robust: "RobustOptions",
                          mixed_precision: bool = False):
@@ -233,9 +242,7 @@ def _make_loss_and_grads(model, loss_fn, *, freq_aug: bool,
         if robust.use_mixup:
             # waveform mixup: x' = lam*x + (1-lam)*x[perm], loss mixed the
             # same way over both label sets
-            lam = jax.random.beta(mix_rng, robust.mixup_alpha,
-                                  robust.mixup_alpha)
-            perm = jax.random.permutation(mix_rng, x.shape[0])
+            lam, perm = _mixup_draw(mix_rng, robust.mixup_alpha, x.shape[0])
             x_in = lam * x + (1 - lam) * x[perm]
             y2 = y[perm]
             dur2 = dur[perm] if dur is not None else None
@@ -483,7 +490,8 @@ def run_training(
             "eval_tdcf": 1.0}
     swa = SWAState()
     state_dir = run_dir / "train_state"
-    if resume and state_dir.exists():
+    if resume and (state_dir.exists() or
+                   state_dir.with_name(state_dir.name + ".old").exists()):
         ck = ckpt_lib.load_train_state(state_dir, opt_state)
         params, model_state, opt_state = (ck.params, ck.model_state,
                                           ck.opt_state)

@@ -84,6 +84,7 @@ def test_pretrained_logits_match_reference(conf, golden, pth, npz,
     assert (np.argsort(ref_score) == np.argsort(got_score)).all()
 
 
+@pytest.mark.smoke
 def test_cpu_f32_self_pin(golden_dir):
     """Tight numeric regression gate (VERDICT round-1 weak #6).
 

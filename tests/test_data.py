@@ -7,6 +7,8 @@ from aasist_tpu.data import dataset as D
 from aasist_tpu.data import protocol as P
 from aasist_tpu.data import synthetic
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def fixture_dir(tmp_path_factory):

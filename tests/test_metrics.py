@@ -7,6 +7,8 @@ import pytest
 
 from aasist_tpu.evaluation import metrics
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def golden(golden_dir):

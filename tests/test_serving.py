@@ -65,6 +65,13 @@ def test_batch_window_validation(scorer):
         scorer.score_batch(np.zeros((2, 123), np.float32))
 
 
+def test_score_batch_empty(scorer):
+    """An empty batch returns an empty array instead of crashing on the
+    zero-row pad tile (VERDICT round 3, weak #8)."""
+    out = scorer.score_batch(np.zeros((0, 16000), np.float32))
+    assert out.shape == (0,) and out.dtype == np.float32
+
+
 def test_scorer_does_not_mutate_shared_model():
     """Two Scorers with different bf16 settings over the same architecture
     object must not interfere (VERDICT round 1, weak #8)."""

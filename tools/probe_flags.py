@@ -28,11 +28,19 @@ CANDIDATES = [
 ]
 
 
-def run_one(name: str, extra: str, timeout_s: float = 540.0):
+def run_one(name: str, extra: str, timeout_s: float = 1200.0):
+    # timeout must leave room for one worst-case cold compile (~10 min on
+    # the remote compiler) — a short timeout falsely records a viable flag
+    # as producing no measurement.  The in-bench watchdog gets the same
+    # headroom, independently of the subprocess timeout.
     env = dict(os.environ)
-    env["LIBTPU_INIT_ARGS"] = (BASE + " " + extra).strip()
+    # prepend any inherited init args (e.g. a required topology flag)
+    # rather than clobbering them
+    env["LIBTPU_INIT_ARGS"] = " ".join(
+        a for a in (os.environ.get("LIBTPU_INIT_ARGS", ""), BASE, extra)
+        if a).strip()
     env["BENCH_SCOPED_VMEM"] = "0"       # flags are set here, not by bench
-    env["BENCH_WATCHDOG"] = str(int(timeout_s) - 30)
+    env["BENCH_WATCHDOG"] = str(max(int(timeout_s) - 60, 600))
     t0 = time.time()
     try:
         res = subprocess.run([sys.executable, "bench.py"], env=env,
@@ -41,7 +49,7 @@ def run_one(name: str, extra: str, timeout_s: float = 540.0):
                              cwd=os.path.dirname(os.path.dirname(
                                  os.path.abspath(__file__))))
     except subprocess.TimeoutExpired:
-        return {"name": name, "flags": extra, "value": None,
+        return {"name": name, "flags": extra, "value": None, "rc": None,
                 "error": "timeout", "wall_s": round(time.time() - t0, 1)}
     line = next((ln for ln in res.stdout.splitlines()
                  if ln.startswith('{"metric"')), None)
@@ -58,7 +66,13 @@ def run_one(name: str, extra: str, timeout_s: float = 540.0):
 
 
 def main():
-    idx = [int(a) for a in sys.argv[1:]]
+    try:
+        idx = [int(a) for a in sys.argv[1:]]
+    except ValueError:
+        sys.exit(f"usage: {sys.argv[0]} [row-index ...]  "
+                 f"(0..{len(CANDIDATES) - 1})")
+    if any(i < 0 or i >= len(CANDIDATES) for i in idx):
+        sys.exit(f"row index out of range; valid: 0..{len(CANDIDATES) - 1}")
     rows = [CANDIDATES[i] for i in idx] if idx else CANDIDATES
     results = []
     for name, extra in rows:
