@@ -101,6 +101,14 @@ class AasistModel:
         # gather-class maxpool and runs conv2 at 3x output channels
         self.use_poly_blocks = bool(model_config.get(
             "use_poly_blocks", False))
+        # eval-only exact-algebra fold of each block's bn2 into conv1's
+        # weights (layers.fold_bn_after_conv): removes the unfused
+        # bn+selu elementwise pass over the full-size conv1 output
+        # (~6 ms/batch-128 in block0, docs/PERF.md round-3 sub-op table).
+        # Off by default — the fold reassociates float ops (same value,
+        # different rounding), which the f64 bit-parity gates must not
+        # see; bench/serving enable it like the fused frontend.
+        self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
         # eval-only augmented-channel form of strongly channel-expanding
         # downsample blocks (the downsample conv rides inside conv2 as
         # identity input channels, killing its full-size HBM round-trip;
@@ -261,7 +269,8 @@ class AasistModel:
                             bp0, state["encoder"][0], h, first=True)
                     out, _ = L.residual_block_apply(
                         bp0, state["encoder"][0], h,
-                        first=True, train=False)
+                        first=True, train=False,
+                        fold_bn=self.use_bn_fold)
                     return out
 
                 ec = e.reshape((nc, b // nc) + e.shape[1:])
@@ -291,7 +300,8 @@ class AasistModel:
                     train=train)
             else:
                 block = functools.partial(
-                    L.residual_block_apply, first=(i == 0), train=train)
+                    L.residual_block_apply, first=(i == 0), train=train,
+                    fold_bn=self.use_bn_fold and not train)
             if train and self.remat:
                 block = jax.checkpoint(block, static_argnums=())
             e, bs = block(bp, state["encoder"][i], e)

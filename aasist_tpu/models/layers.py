@@ -257,8 +257,42 @@ def residual_block_init(rng, in_ch: int, out_ch: int, first: bool
     return params, state
 
 
+def fold_bn_after_conv(conv_p: Params, bn_p: Params, bn_s: State
+                       ) -> Params:
+    """Exact eval-mode algebra: fold a BatchNorm that CONSUMES a conv's
+    output into that conv's weight/bias.
+
+    ``bn(conv(x)) == conv'(x)`` with ``w' = w * s`` (per output channel)
+    and ``b' = b * s + o`` where ``s = gamma*rsqrt(var+eps)`` and
+    ``o = beta - s*mean``.  Unlike folding a *preceding* BN, this
+    direction is exact under any padding (the affine acts after the
+    convolution).  The fold is computed in f32 and cast back to the
+    conv's dtype, so bf16 paths keep the same rounding class.
+
+    Reference anchor: Residual_block's conv1 -> bn2 pair
+    (/root/reference/models/RawNetGatSpoofST.py:258-268) — the bn2+selu
+    elementwise pass measures ~6 ms/batch-128 unfused on TPU
+    (docs/PERF.md round-3 sub-op table); folding removes the BN half
+    and leaves selu alone on the fusion boundary.
+    """
+    dt = conv_p["weight"].dtype
+    ft = jnp.promote_types(dt, jnp.float32)  # f32, or f64 on f64 paths
+    w = conv_p["weight"].astype(ft)
+    g = bn_p["weight"].astype(ft)
+    b = bn_p["bias"].astype(ft)
+    mean = bn_s["mean"].astype(ft)
+    var = bn_s["var"].astype(ft)
+    s = g * lax.rsqrt(var + nn.BN_EPS)
+    o = b - s * mean
+    w2 = (w * s[:, None, None, None]).astype(dt)
+    bias = conv_p.get("bias")
+    b2 = (s * bias.astype(ft) + o if bias is not None else o).astype(dt)
+    return {"weight": w2, "bias": b2}
+
+
 def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
-                         first: bool, train: bool
+                         first: bool, train: bool,
+                         fold_bn: bool = False
                          ) -> Tuple[jnp.ndarray, State]:
     """Original AASIST/RawGAT residual block (RawNetGatSpoofST.py:258-278).
 
@@ -277,9 +311,15 @@ def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
         # output discarded (reference bug kept); state update is real
         _, new_s["bn1"] = nn.batch_norm(p["bn1"], s["bn1"], x, axis=1,
                                         train=True)
-    out = nn.conv2d(p["conv1"], x, padding=((1, 1), (1, 1)))
-    out, new_s["bn2"] = nn.batch_norm(p["bn2"], s["bn2"], out, axis=1,
-                                      train=train)
+    if fold_bn and not train:
+        # eval: bn2 rides inside conv1's weights (exact algebra, see
+        # fold_bn_after_conv) — removes one full-size elementwise pass
+        conv1 = fold_bn_after_conv(p["conv1"], p["bn2"], s["bn2"])
+        out = nn.conv2d(conv1, x, padding=((1, 1), (1, 1)))
+    else:
+        out = nn.conv2d(p["conv1"], x, padding=((1, 1), (1, 1)))
+        out, new_s["bn2"] = nn.batch_norm(p["bn2"], s["bn2"], out, axis=1,
+                                          train=train)
     out = jax.nn.selu(out)
     out = nn.conv2d(p["conv2"], out, padding=((0, 0), (1, 1)))
     identity = x

@@ -117,6 +117,9 @@ def main() -> int:
     want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
                      and dtype == "bf16")
     want_aug = os.environ.get("BENCH_AUG_BLOCKS", "0") != "0"
+    # eval-mode bn2-into-conv1 fold (exact algebra, round 4): on by
+    # default; opt out with BENCH_BN_FOLD=0
+    want_bn_fold = os.environ.get("BENCH_BN_FOLD", "1") != "0"
     b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
 
     def build_for_batch(batch):
@@ -126,6 +129,8 @@ def main() -> int:
             c["b0_chunks"] = 1 if batch < 256 else 2
         if want_aug:
             c["use_aug_blocks"] = True
+        if want_bn_fold:
+            c["use_bn_fold"] = True
         if b0_chunks_env:
             c["b0_chunks"] = int(b0_chunks_env)
         return c, build_model(c)
@@ -217,7 +222,8 @@ def main() -> int:
                     time.sleep(15.0)
                     continue
                 if (bconf.pop("use_fused_frontend", None)
-                        or bconf.pop("use_aug_blocks", None)):
+                        or bconf.pop("use_aug_blocks", None)
+                        or bconf.pop("use_bn_fold", None)):
                     # perf-variant trouble: drop one flag, rebuild on
                     # the plainer path and retry this batch size
                     model = build_model(bconf)

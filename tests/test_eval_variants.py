@@ -96,6 +96,71 @@ def test_aug_block_layer_exact():
         assert err < 1e-4, (ci, co, err)
 
 
+def test_bn_fold_match(setup):
+    params, state, x, ref = setup
+    conf = dict(BASE)
+    conf["use_bn_fold"] = True
+    got = _logits(conf, params, state, x)
+    assert np.max(np.abs(got - ref)) < 2e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_bn_fold_layer_exact():
+    """Layer-level f32 parity of the bn2-into-conv1 fold, with and
+    without a conv bias."""
+    from aasist_tpu.models import layers as L
+
+    rng = np.random.default_rng(11)
+    for with_bias in (True, False):
+        co = ci = 8  # same-channel block: identity add, no downsample
+        conv1 = {"weight": jnp.asarray(
+            rng.standard_normal((co, ci, 2, 3)) * 0.3, jnp.float32)}
+        if with_bias:
+            conv1["bias"] = jnp.asarray(rng.standard_normal((co,)) * 0.1,
+                                        jnp.float32)
+        p = {
+            "conv1": conv1,
+            "conv2": {"weight": jnp.asarray(
+                rng.standard_normal((co, co, 2, 3)) * 0.2, jnp.float32)},
+            "bn2": {"weight": jnp.asarray(
+                1 + 0.2 * rng.standard_normal((co,)), jnp.float32),
+                "bias": jnp.asarray(0.1 * rng.standard_normal((co,)),
+                                    jnp.float32)},
+        }
+        s = {"bn2": {"mean": jnp.asarray(
+            0.1 * rng.standard_normal((co,)), jnp.float32),
+            "var": jnp.asarray(1.0 + np.abs(rng.standard_normal((co,))),
+                               jnp.float32)}}
+        x = jnp.asarray(rng.standard_normal((2, ci, 23, 96)), jnp.float32)
+        ref, _ = L.residual_block_apply(p, s, x, first=True, train=False)
+        got, _ = L.residual_block_apply(p, s, x, first=True, train=False,
+                                        fold_bn=True)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-5, (with_bias, err)
+
+
+def test_bn_fold_train_mode_ignores_flag():
+    """fold_bn must be inert in train mode (BN batch stats are live)."""
+    from aasist_tpu.models import layers as L
+
+    rng = np.random.default_rng(12)
+    co = ci = 4
+    p = {
+        "conv1": {"weight": jnp.asarray(
+            rng.standard_normal((co, ci, 2, 3)) * 0.3, jnp.float32)},
+        "conv2": {"weight": jnp.asarray(
+            rng.standard_normal((co, co, 2, 3)) * 0.2, jnp.float32)},
+        "bn2": {"weight": jnp.ones((co,)), "bias": jnp.zeros((co,))},
+    }
+    s = {"bn2": {"mean": jnp.zeros((co,)), "var": jnp.ones((co,))}}
+    x = jnp.asarray(rng.standard_normal((2, ci, 23, 24)), jnp.float32)
+    ref, s_ref = L.residual_block_apply(p, s, x, first=True, train=True)
+    got, s_got = L.residual_block_apply(p, s, x, first=True, train=True,
+                                        fold_bn=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(s_got["bn2"]["mean"]),
+                                  np.asarray(s_ref["bn2"]["mean"]))
+
+
 def test_b0_chunks_match(setup):
     params, state, x, ref = setup
     conf = dict(BASE)
