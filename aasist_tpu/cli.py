@@ -161,16 +161,13 @@ def main(argv=None) -> int:
         print(f"Model loaded : {weights}")
         print("Start evaluation...")
         eval_score_path = run_dir / cfg.eval_output
-        # same guard as run_training: stacking mesh-sharded batches for
-        # the chained dispatch would need its own PartitionSpec
+        # chained dispatch works under a DP mesh too (round 4): the
+        # chained step shards the stacked input P(None, "data")
         eval_chain = int(cfg.extras.get(
-            "eval_chain",
-            4 if (jax.default_backend() == "tpu" and mesh is None) else 1))
-        if mesh is not None:
-            eval_chain = 1
+            "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
         evaluate_to_file(model, params, model_state, loaders.eval,
                          loaders.eval_trial_meta, eval_score_path,
-                         chain=eval_chain)
+                         chain=eval_chain, mesh=mesh)
         eer, tdcf = calculate_tdcf_eer(
             eval_score_path, cfg.asv_scores(), run_dir / "t-DCF_EER.txt")
         # reference writes the report twice on the eval-only path

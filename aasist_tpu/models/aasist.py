@@ -83,6 +83,10 @@ class AasistModel:
         # kernel has no VJP).
         self.use_fused_frontend = bool(model_config.get(
             "use_fused_frontend", False))
+        # set (by serving / callers) to a jax.sharding.Mesh to run the
+        # fused frontend under data parallelism via shard_map — GSPMD
+        # cannot partition the Pallas custom call by itself
+        self.spmd_mesh = None
         # with the Pallas frontend in the program, XLA's block-0 conv
         # temporaries ((B,32,24,21490) bf16 twice) push the program past
         # HBM at batch 256 — lax.map over batch chunks runs block 0
@@ -224,9 +228,15 @@ class AasistModel:
                 raise ValueError("freq_aug requires an rng key")
             bank = L.freq_mask_filterbank(aug_rng, bank)
         if self.use_fused_frontend and not train:
-            from aasist_tpu.ops.fused_frontend import fused_frontend
-            x = fused_frontend(x, bank, params["first_bn"],
-                               state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import (fused_frontend,
+                                                       fused_frontend_sharded)
+            if self.spmd_mesh is not None:
+                x = fused_frontend_sharded(x, bank, params["first_bn"],
+                                           state["first_bn"],
+                                           mesh=self.spmd_mesh)
+            else:
+                x = fused_frontend(x, bank, params["first_bn"],
+                                   state["first_bn"])
             new_state["first_bn"] = state["first_bn"]
         else:
             x = L.sinc_frontend(bank, x)                  # (B, C, L')

@@ -80,6 +80,9 @@ class AasistRobustModel:
         self.compute_dtype = jnp.dtype(model_config.get("dtype", "float32"))
         self.use_fused_frontend = bool(model_config.get(
             "use_fused_frontend", False))
+        # set (by serving / callers) to a jax.sharding.Mesh for the
+        # shard_map'd fused frontend under data parallelism
+        self.spmd_mesh = None
 
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
         ks = iter(jax.random.split(rng, 32))
@@ -140,9 +143,15 @@ class AasistRobustModel:
         if self.use_fused_frontend and not train:
             # same eval chain as AASIST (noise/denoise are train-only), so
             # the fused Pallas frontend drops in; see models/aasist.py
-            from aasist_tpu.ops.fused_frontend import fused_frontend
-            h = fused_frontend(x, bank, params["first_bn"],
-                               state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import (
+                fused_frontend, fused_frontend_sharded)
+            if self.spmd_mesh is not None:
+                h = fused_frontend_sharded(x, bank, params["first_bn"],
+                                           state["first_bn"],
+                                           mesh=self.spmd_mesh)
+            else:
+                h = fused_frontend(x, bank, params["first_bn"],
+                                   state["first_bn"])
             new_state["first_bn"] = state["first_bn"]
         else:
             h = L.sinc_frontend(bank, x)

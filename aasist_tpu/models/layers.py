@@ -290,6 +290,24 @@ def fold_bn_after_conv(conv_p: Params, bn_p: Params, bn_s: State
     return {"weight": w2, "bias": b2}
 
 
+def fold_encoder_bn(enc_params, enc_state):
+    """Pre-fold every residual block's bn2 into its conv1, OUTSIDE jit.
+
+    Returns a new encoder param list where each block carries an extra
+    ``conv1_folded`` entry that ``residual_block_apply(fold_bn=True)``
+    uses directly — the folded weights reach the compiled program as
+    plain parameters instead of per-call computed tensors.
+    """
+    out = []
+    for bp, bs in zip(enc_params, enc_state):
+        bp = dict(bp)
+        if "conv1" in bp and "bn2" in bp:
+            bp["conv1_folded"] = fold_bn_after_conv(
+                bp["conv1"], bp["bn2"], bs["bn2"])
+        out.append(bp)
+    return out
+
+
 def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
                          first: bool, train: bool,
                          fold_bn: bool = False
@@ -313,8 +331,12 @@ def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
                                         train=True)
     if fold_bn and not train:
         # eval: bn2 rides inside conv1's weights (exact algebra, see
-        # fold_bn_after_conv) — removes one full-size elementwise pass
-        conv1 = fold_bn_after_conv(p["conv1"], p["bn2"], s["bn2"])
+        # fold_bn_after_conv) — removes one full-size elementwise pass.
+        # A pre-folded conv (fold_encoder_bn) takes precedence: folding
+        # outside jit keeps the conv weights plain parameters.
+        conv1 = p.get("conv1_folded")
+        if conv1 is None:
+            conv1 = fold_bn_after_conv(p["conv1"], p["bn2"], s["bn2"])
         out = nn.conv2d(conv1, x, padding=((1, 1), (1, 1)))
     else:
         out = nn.conv2d(p["conv1"], x, padding=((1, 1), (1, 1)))
@@ -328,6 +350,94 @@ def residual_block_apply(p: Params, s: State, x: jnp.ndarray, *,
                              padding=((0, 0), (1, 1)))
     out = out + identity
     return nn.max_pool(out, (1, 3)), new_s
+
+
+def _stacked_conv2d(pa: Params, pb: Params, x: jnp.ndarray, *,
+                    padding, shared_input: bool, dense: bool
+                    ) -> jnp.ndarray:
+    """One convolution computing two same-geometry branch convs at once.
+
+    Channel convention: outputs ``[branch_a ++ branch_b]``; for
+    non-shared inputs the input is expected in the same stacked order.
+
+    * ``shared_input``: both branches read the SAME input (e.g. the
+      1-channel post-frontend map) — plain output-channel concat.
+    * ``dense``: block-diagonal weights at 2x in/out channels — 2x the
+      FLOPs at 50% density, but the K-dim doubles, which the MXU runs
+      at far higher efficiency for these C<=64 convs (docs/PERF.md
+      Mosaic dot-rate table: 384-row dots reach 82% peak where 192-row
+      dots reach 25%).
+    * otherwise: grouped conv (``feature_group_count=2``) — exact FLOPs,
+      one dispatch.
+    """
+    wa, wb = pa["weight"], pb["weight"]
+    if shared_input:
+        w = jnp.concatenate([wa, wb], axis=0)
+        groups = 1
+    elif dense:
+        w = jnp.concatenate([
+            jnp.concatenate([wa, jnp.zeros_like(wb)], axis=1),
+            jnp.concatenate([jnp.zeros_like(wa), wb], axis=1)], axis=0)
+        groups = 1
+    else:
+        w = jnp.concatenate([wa, wb], axis=0)
+        groups = 2
+    y = lax.conv_general_dilated(
+        x, w, (1, 1), tuple(padding),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups)
+    ba, bb = pa.get("bias"), pb.get("bias")
+    if ba is not None or bb is not None:
+        bias = jnp.concatenate([
+            ba if ba is not None else jnp.zeros((wa.shape[0],), y.dtype),
+            bb if bb is not None else jnp.zeros((wb.shape[0],), y.dtype)])
+        y = y + bias[None, :, None, None].astype(y.dtype)
+    return y
+
+
+def residual_block_apply_stacked2(
+        pa: Params, pb: Params, sa: State, sb: State, x: jnp.ndarray, *,
+        first: bool, shared_input: bool, dense: bool = True,
+        fold_bn: bool = True) -> jnp.ndarray:
+    """Eval-only: TWO same-geometry residual blocks as ONE at 2x channels.
+
+    RawGAT-ST runs two structurally identical encoders on the same
+    frontend output (ref: models/RawNetGatSpoofST.py:295-309); running
+    them sequentially leaves the MXU at C=32 efficiency and doubles the
+    pass count.  Stacking the branch weights runs the whole pyramid
+    once at 2x channels; the output splits back as
+    ``e[:, :C] / e[:, C:]``.  Same math as two ``residual_block_apply``
+    calls (conv accumulation order differs under ``dense``).
+
+    ``first``/bn1 follows the reference quirk (bn1 output discarded —
+    see residual_block_apply), so eval needs no bn1 at all.
+    """
+    del first
+    if fold_bn:
+        ca = fold_bn_after_conv(pa["conv1"], pa["bn2"], sa["bn2"])
+        cb = fold_bn_after_conv(pb["conv1"], pb["bn2"], sb["bn2"])
+    else:
+        ca, cb = pa["conv1"], pb["conv1"]
+    out = _stacked_conv2d(ca, cb, x, padding=((1, 1), (1, 1)),
+                          shared_input=shared_input, dense=dense)
+    if not fold_bn:
+        bn_p = {k: jnp.concatenate([pa["bn2"][k], pb["bn2"][k]])
+                for k in ("weight", "bias")}
+        bn_s = {k: jnp.concatenate([sa["bn2"][k], sb["bn2"][k]])
+                for k in ("mean", "var")}
+        out, _ = nn.batch_norm(bn_p, bn_s, out, axis=1, train=False)
+    out = jax.nn.selu(out)
+    out = _stacked_conv2d(pa["conv2"], pb["conv2"], out,
+                          padding=((0, 0), (1, 1)), shared_input=False,
+                          dense=dense)
+    if "conv_downsample" in pa:
+        identity = _stacked_conv2d(
+            pa["conv_downsample"], pb["conv_downsample"], x,
+            padding=((0, 0), (1, 1)), shared_input=shared_input,
+            dense=dense)
+    else:
+        identity = x
+    return nn.max_pool(out + identity, (1, 3))
 
 
 def residual_block_apply_poly(p: Params, s: State, x: jnp.ndarray, *,

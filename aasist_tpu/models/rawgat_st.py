@@ -42,6 +42,22 @@ class RawGatStModel:
         # same eval-only kernel drops in; see models/aasist.py
         self.use_fused_frontend = bool(model_config.get(
             "use_fused_frontend", False))
+        # set (by serving / callers) to a jax.sharding.Mesh for the
+        # shard_map'd fused frontend under data parallelism
+        self.spmd_mesh = None
+        # eval-only dual-encoder stacking: encoder_T/encoder_S are the
+        # same geometry over the same input (ref RawNetGatSpoofST.py:
+        # 295-309) — run them as ONE conv pyramid at 2x channels
+        # (layers.residual_block_apply_stacked2).  "dense" block-diag
+        # weights double the conv K-dim (far better MXU efficiency at
+        # these widths, docs/PERF.md dot-rate table); "grouped" keeps
+        # exact FLOPs via feature_group_count=2.  Off by default: float
+        # reassociation must not reach the parity gates.
+        self.use_stacked_encoders = bool(model_config.get(
+            "use_stacked_encoders", False))
+        self.stacked_mode = str(model_config.get("stacked_mode", "dense"))
+        # eval-mode bn2-into-conv1 fold (layers.fold_bn_after_conv)
+        self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
 
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
         ks = iter(jax.random.split(rng, 32))
@@ -73,10 +89,24 @@ class RawGatStModel:
         new_s = []
         e = x
         for i, bp in enumerate(blocks_p):
-            e, bs = L.residual_block_apply(bp, blocks_s[i], e,
-                                           first=(i == 0), train=train)
+            e, bs = L.residual_block_apply(
+                bp, blocks_s[i], e, first=(i == 0), train=train,
+                fold_bn=self.use_bn_fold and not train)
             new_s.append(bs)
         return e, new_s
+
+    def _encode_stacked(self, params, state, x):
+        """Eval-only: both encoders as one 2x-channel pyramid."""
+        e = x
+        for i, (bpa, bpb) in enumerate(zip(params["encoder_T"],
+                                           params["encoder_S"])):
+            e = L.residual_block_apply_stacked2(
+                bpa, bpb, state["encoder_T"][i], state["encoder_S"][i], e,
+                first=(i == 0), shared_input=(i == 0),
+                dense=(self.stacked_mode == "dense"),
+                fold_bn=self.use_bn_fold)
+        c = self.filts[-1][-1]
+        return e[:, :c], e[:, c:]
 
     def apply(self, params: Params, state: State, x: jnp.ndarray, *,
               train: bool = False, rng: Optional[jax.Array] = None,
@@ -93,9 +123,15 @@ class RawGatStModel:
             if aug is not None:
                 bank = L.freq_mask_filterbank(aug, bank)
         if self.use_fused_frontend and not train:
-            from aasist_tpu.ops.fused_frontend import fused_frontend
-            h = fused_frontend(x, bank, params["first_bn"],
-                               state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import (fused_frontend,
+                                                       fused_frontend_sharded)
+            if self.spmd_mesh is not None:
+                h = fused_frontend_sharded(x, bank, params["first_bn"],
+                                           state["first_bn"],
+                                           mesh=self.spmd_mesh)
+            else:
+                h = fused_frontend(x, bank, params["first_bn"],
+                                   state["first_bn"])
             new_state["first_bn"] = state["first_bn"]
         else:
             h = L.sinc_frontend(bank, x)
@@ -105,9 +141,17 @@ class RawGatStModel:
                 train=train)
             h = jax.nn.selu(h)
 
+        if self.use_stacked_encoders and not train:
+            e_t, e_s = self._encode_stacked(params, state, h)
+            new_state["encoder_T"] = state["encoder_T"]
+            new_state["encoder_S"] = state["encoder_S"]
+        else:
+            e_t, new_state["encoder_T"] = self._encode(
+                params["encoder_T"], state["encoder_T"], h, train)
+            e_s, new_state["encoder_S"] = self._encode(
+                params["encoder_S"], state["encoder_S"], h, train)
+
         # "T" view: max over time -> spectral nodes
-        e_t, new_state["encoder_T"] = self._encode(
-            params["encoder_T"], state["encoder_T"], h, train)
         n_t = jnp.swapaxes(jnp.max(jnp.abs(e_t), axis=3), 1, 2)  # (B,F,C)
         gat_t, new_state["GAT_layer_T"] = L.gat_apply(
             params["GAT_layer_T"], state["GAT_layer_T"], n_t,
@@ -118,8 +162,6 @@ class RawGatStModel:
         out_t = nn.linear(params["proj_T"], jnp.swapaxes(pool_t, 1, 2))
 
         # "S" view: max over freq -> temporal nodes
-        e_s, new_state["encoder_S"] = self._encode(
-            params["encoder_S"], state["encoder_S"], h, train)
         n_s = jnp.swapaxes(jnp.max(jnp.abs(e_s), axis=2), 1, 2)  # (B,T,C)
         gat_s, new_state["GAT_layer_S"] = L.gat_apply(
             params["GAT_layer_S"], state["GAT_layer_S"], n_s,

@@ -190,6 +190,29 @@ def fused_frontend(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     return jnp.transpose(out[:23, :, :t_out], (1, 0, 2))[:, None]
 
 
+def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
+                           *, mesh, axis: str = "data") -> jnp.ndarray:
+    """``fused_frontend`` under a data-parallel mesh.
+
+    GSPMD cannot partition a Pallas custom call on its own, so the DP
+    serving path used to fall back to the XLA frontend (round-3 VERDICT
+    #3).  ``shard_map`` makes the partitioning explicit instead: each
+    device runs the kernel on its local batch shard (the frontend is
+    embarrassingly batch-parallel — no halo, no collectives), with the
+    filterbank and BN leaves replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(xl, bk, bp, bs):
+        return fused_frontend(xl, bk, bp, bs)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis), check_rep=False)(x, bank, bn_p, bn_s)
+
+
 def _pack_traced(bank: jnp.ndarray) -> jnp.ndarray:
     """pack_filterbank for a traced (possibly freq-aug-masked) bank: the
     index plumbing is static, so it's a gather-free scatter-add done with

@@ -93,16 +93,20 @@ class Scorer:
             # the Pallas sinc frontend is the measured best serving
             # config on TPU (docs/PERF.md: 1840-1864 utt/s at batch 128
             # with unchunked block0, vs 1772 XLA-only); elsewhere it
-            # would run in the slow interpreter, and GSPMD cannot
-            # partition the custom call over a sharded batch, so leave
-            # it off on CPU/GPU and under a mesh
-            use_fused_frontend = (bf16 and mesh is None
+            # would run in the slow interpreter.  Under a DP mesh the
+            # kernel runs per-shard through shard_map
+            # (ops/fused_frontend.fused_frontend_sharded) — GSPMD cannot
+            # partition the custom call by itself, but the explicit
+            # partitioning keeps the kernel on the serving path.
+            use_fused_frontend = (bf16
                                   and jax.default_backend() == "tpu"
                                   and hasattr(model, "use_fused_frontend"))
         if hasattr(model, "use_fused_frontend"):
             was_on = model.use_fused_frontend
             model = copy.copy(model)
             model.use_fused_frontend = bool(use_fused_frontend)
+            if use_fused_frontend and mesh is not None:
+                model.spmd_mesh = mesh
             if use_fused_frontend and not was_on:
                 # we are enabling it: the model's b0_chunks was computed
                 # for the UNfused path (default 1).  Chunking only exists

@@ -311,7 +311,7 @@ def make_eval_step(model):
     return jax.jit(fwd)
 
 
-def make_chained_eval_step(model, chain: int):
+def make_chained_eval_step(model, chain: int, mesh=None):
     """Eval step over ``chain`` stacked batches in ONE dispatched call.
 
     ``x`` is (chain, B, L); a lax.scan runs the forward per batch inside
@@ -319,6 +319,11 @@ def make_chained_eval_step(model, chain: int):
     backends — docs/PERF.md methodology) is paid once per ``chain``
     batches instead of once per batch.  Worth ~5-8% on top of 2-deep
     pipelining at batch 128 (bench.py's G-chaining, same mechanism).
+
+    With ``mesh``, the stacked input gets an explicit
+    ``P(None, "data")`` partition (chain dim replicated, batch dim
+    sharded over the data axis — the same DP layout as the per-batch
+    path) so chaining works under multi-chip serving too.
     """
     def fwd(params, model_state, xs):
         def body(_, x):
@@ -328,13 +333,19 @@ def make_chained_eval_step(model, chain: int):
         _, all_logits = jax.lax.scan(body, 0, xs)
         return all_logits                       # (chain, B, n_classes)
 
-    return jax.jit(fwd)
+    if mesh is None:
+        return jax.jit(fwd)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    xsh = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(fwd, in_shardings=(repl, repl, xsh),
+                   out_shardings=repl)
 
 
 # ------------------------------------------------------------- evaluation
 def produce_scores(model, params, model_state, batcher,
                    eval_step=None, pipeline_depth: int = 2,
-                   chain: int = 1) -> Tuple[list, list]:
+                   chain: int = 1, mesh=None) -> Tuple[list, list]:
     """Run batched inference; returns (utt_ids, bonafide scores).
 
     Equivalent of produce_evaluation_file's loop (main.py:364-380); the
@@ -358,7 +369,8 @@ def produce_scores(model, params, model_state, batcher,
 
     if chain > 1:
         chained_step = (eval_step if eval_step is not None
-                        else make_chained_eval_step(model, chain))
+                        else make_chained_eval_step(model, chain,
+                                                    mesh=mesh))
 
         def groups():
             gx, gu = [], []
@@ -421,9 +433,10 @@ def produce_scores(model, params, model_state, batcher,
 
 
 def evaluate_to_file(model, params, model_state, batcher, trial_meta,
-                     score_path, eval_step=None, chain: int = 1) -> None:
+                     score_path, eval_step=None, chain: int = 1,
+                     mesh=None) -> None:
     ids, scores = produce_scores(model, params, model_state, batcher,
-                                 eval_step, chain=chain)
+                                 eval_step, chain=chain, mesh=mesh)
     write_score_file(score_path, ids, scores, trial_meta)
 
 
@@ -531,16 +544,13 @@ def run_training(
             freq_aug=cfg.freq_aug, use_duration=use_duration,
             robust=RobustOptions.from_config(cfg), mixed_precision=mp)
     # chained eval dispatch (docs/PERF.md: ~5-8% on tunneled TPU); off
-    # on CPU where per-dispatch overhead is negligible, and off under a
-    # DP mesh (stacking sharded batches would need its own
-    # PartitionSpec — keep the proven per-batch path there)
+    # on CPU where per-dispatch overhead is negligible.  Under a DP mesh
+    # the chained step carries an explicit P(None, "data") input
+    # partition (round 4 — the round-3 force-disable is gone).
     eval_chain = int(cfg.extras.get(
-        "eval_chain",
-        4 if (jax.default_backend() == "tpu" and mesh is None) else 1))
-    if mesh is not None:
-        eval_chain = 1
+        "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
     eval_step = (make_eval_step(model) if eval_chain == 1
-                 else make_chained_eval_step(model, eval_chain))
+                 else make_chained_eval_step(model, eval_chain, mesh=mesh))
     rng = jax.random.PRNGKey(seed + 1)
 
     n_epochs = max_epochs if max_epochs is not None else cfg.num_epochs

@@ -117,10 +117,18 @@ def main() -> int:
     want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
                      and dtype == "bf16")
     want_aug = os.environ.get("BENCH_AUG_BLOCKS", "0") != "0"
-    # eval-mode bn2-into-conv1 fold (exact algebra, round 4): on by
-    # default; opt out with BENCH_BN_FOLD=0
-    want_bn_fold = os.environ.get("BENCH_BN_FOLD", "1") != "0"
+    # eval-mode bn2-into-conv1 fold (exact algebra, round 4): measured
+    # 21% SLOWER on-chip (1556 vs 1973 utt/s) — the bn+selu elementwise
+    # pass is load-bearing as conv2's producer fusion (docs/PERF.md
+    # round 4).  Off by default; BENCH_BN_FOLD=1 folds in-jit, =2 uses
+    # pre-folded params (fold_encoder_bn) for the A/B.
+    bn_fold_mode = os.environ.get("BENCH_BN_FOLD", "0")
+    want_bn_fold = bn_fold_mode != "0"
     b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
+    # RawGAT-ST dual-encoder stacking (round 4): BENCH_STACKED=dense|
+    # grouped|0; dense by default for the RawGAT config (measured best)
+    stacked_env = os.environ.get(
+        "BENCH_STACKED", "dense" if arch.startswith("RawGATST") else "0")
 
     def build_for_batch(batch):
         c = dict(conf)
@@ -131,6 +139,9 @@ def main() -> int:
             c["use_aug_blocks"] = True
         if want_bn_fold:
             c["use_bn_fold"] = True
+        if stacked_env != "0":
+            c["use_stacked_encoders"] = True
+            c["stacked_mode"] = stacked_env
         if b0_chunks_env:
             c["b0_chunks"] = int(b0_chunks_env)
         return c, build_model(c)
@@ -152,6 +163,13 @@ def main() -> int:
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, t)
         params, state = cast(params), cast(state)
+
+    if bn_fold_mode == "2" and "encoder" in params:
+        from aasist_tpu.models.layers import fold_encoder_bn
+        params = dict(params)
+        params["encoder"] = jax.tree_util.tree_map(
+            np.asarray,
+            fold_encoder_bn(params["encoder"], state["encoder"]))
 
     # NB: the scalar reduction is the synchronisation point — on the
     # tunneled axon backend block_until_ready returns before execution
@@ -223,7 +241,8 @@ def main() -> int:
                     continue
                 if (bconf.pop("use_fused_frontend", None)
                         or bconf.pop("use_aug_blocks", None)
-                        or bconf.pop("use_bn_fold", None)):
+                        or bconf.pop("use_bn_fold", None)
+                        or bconf.pop("use_stacked_encoders", None)):
                     # perf-variant trouble: drop one flag, rebuild on
                     # the plainer path and retry this batch size
                     model = build_model(bconf)
