@@ -22,7 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
 from aasist_tpu.models.layers import sinc_filterbank  # noqa: E402
-from aasist_tpu.ops import fused_stack as FS  # noqa: E402
+sys.path.insert(0, "/root/repo/tools")
+import fused_stack as FS  # noqa: E402
 from aasist_tpu.registry import build_model  # noqa: E402
 
 STAGES = ["dma", "fill", "conv1", "epi", "conv2", "full"]  # conv2 = dense only

@@ -6,7 +6,7 @@ Findings (B=128 bf16, docs/PERF.md round 3): base 25.77 / noselu 21.82 /
 nodot 12.79 / u512 23.68 / u2048 25.54 ms; bf16 dot accumulation is
 rejected by Mosaic ("matmul acc must be 32-bit").  The conv1 dot's f32
 result materialization costs ~13 ms of VMEM traffic per batch — the
-same wall that parked ops/fused_stack.py in round 2.
+same wall that parked tools/fused_stack.py in round 2.
 
 First on-chip run measured the kernel at 26.4 ms/batch (B=128) against a
 ~6 ms write-bound estimate — the same VMEM-bandwidth wall the round-2

@@ -4,6 +4,9 @@ Covers pack_w_frontend / pack_w1ds / pack_w2 numerics and the full
 fused_frontend_block0 path including phase-plane masking and tile halos.
 """
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,7 +15,9 @@ import pytest
 from aasist_tpu import nn
 from aasist_tpu.models import layers as L
 from aasist_tpu.models.layers import sinc_filterbank
-from aasist_tpu.ops import fused_stack as FS
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import fused_stack as FS  # noqa: E402
 
 C = 32
 
