@@ -126,9 +126,13 @@ def main() -> int:
     want_bn_fold = bn_fold_mode != "0"
     b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
     # RawGAT-ST dual-encoder stacking (round 4): BENCH_STACKED=dense|
-    # grouped|0; dense by default for the RawGAT config (measured best)
-    stacked_env = os.environ.get(
-        "BENCH_STACKED", "dense" if arch.startswith("RawGATST") else "0")
+    # grouped|0.  OFF by default: measured NEUTRAL at the real batch
+    # (tools/probe_rawgat_stacked.py, B=128 bf16: off 852 / dense 832 /
+    # grouped 876 utt/s) — the conv pyramid is HBM-bound, so stacking
+    # the branch weights saves no bytes — and dense at B=128 fails to
+    # compile under the bench's fused-fe+scoped-vmem stack, regressing
+    # the fallback ladder to B=32 (508 utt/s).  docs/PERF.md round 4.
+    stacked_env = os.environ.get("BENCH_STACKED", "0")
 
     def build_for_batch(batch):
         c = dict(conf)
