@@ -24,7 +24,27 @@ from pathlib import Path
 import numpy as np
 
 
-def build_loaders(cfg, seed: int, mesh=None):
+def default_eval_batch(arch: str, backend: str, train_bs: int,
+                       eval_only: bool) -> int:
+    """Dev/eval scoring batch default.
+
+    On the standalone ``--eval`` path the measured-best serving batch
+    per architecture applies (``serving.SERVING_BATCH_DEFAULTS``: the
+    round-3 VERDICT's ~5x dispatch-granularity win).  DURING TRAINING
+    the train batch is kept: the bf16 batch-24 train graph already
+    peaks near HBM capacity, and a chained batch-128 eval program on
+    top of the live train state OOMs the chip (measured, round-4
+    on-TPU protocol run) — the reference's train-batch scoring
+    (main.py:305-342) is memory-load-bearing there, not an accident.
+    Non-TPU backends (tests, CPU smoke) also keep the train batch.
+    """
+    if backend != "tpu" or not eval_only:
+        return train_bs
+    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
+    return SERVING_BATCH_DEFAULTS.get(arch, 128)
+
+
+def build_loaders(cfg, seed: int, mesh=None, eval_only: bool = False):
     """Assemble train/dev/eval batchers (reference get_loader,
     main.py:262-344)."""
     from aasist_tpu.data import dataset as D
@@ -61,19 +81,15 @@ def build_loaders(cfg, seed: int, mesh=None):
         batch_size=cfg.batch_size, seed=seed, dcs_buckets=buckets,
         dcs_min=dcs.min_samples, dcs_max=dcs.max_samples,
         fixed_len=fixed_len, sharding=sharding)
-    # dev/eval batch size is decoupled from the train batch size: scoring
-    # wants the measured-best serving batch per architecture (128/256 —
-    # serving.SERVING_BATCH_DEFAULTS), not the reference's train batch of
-    # 24.  Overridable via the "eval_batch_size" config extra; on non-TPU
-    # backends (tests, CPU smoke runs) the train batch is kept — there is
-    # no dispatch-granularity win to buy and small batches stay fast.
+    # dev/eval batch size: see default_eval_batch — serving batch on the
+    # standalone --eval path, train batch while training (memory-safe
+    # alongside the live train graph).  The "eval_batch_size" config
+    # extra overrides both.
     import jax
 
-    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
     arch = cfg.model_config.get("architecture")
-    default_eval_bs = (SERVING_BATCH_DEFAULTS.get(arch, 128)
-                       if jax.default_backend() == "tpu"
-                       else cfg.batch_size)
+    default_eval_bs = default_eval_batch(
+        arch, jax.default_backend(), cfg.batch_size, eval_only)
     eval_bs = int(cfg.extras.get("eval_batch_size", default_eval_bs))
     if mesh is not None:
         # the batch axis must divide the mesh's data axis
@@ -151,7 +167,8 @@ def main(argv=None) -> int:
     from aasist_tpu.models.aasist import count_params
     print(f"no. model params: {count_params(params)}")
 
-    loaders = build_loaders(cfg, args.seed, mesh=mesh)
+    loaders = build_loaders(cfg, args.seed, mesh=mesh,
+                            eval_only=args.eval)
 
     if args.eval:
         from aasist_tpu.evaluation.metrics import calculate_tdcf_eer

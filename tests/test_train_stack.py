@@ -222,6 +222,26 @@ def test_cli_eval_batch_size_decoupled(tmp_path):
                 close()
 
 
+def test_default_eval_batch_policy():
+    """Round-4 on-TPU protocol-run regression: serving-batch scoring is
+    an --eval-only default.  DURING TRAINING the train batch is kept —
+    the bf16 train graph peaks near HBM capacity and a chained B=128
+    eval program on top OOMs the chip (measured)."""
+    from aasist_tpu.cli import default_eval_batch
+    from aasist_tpu.serving import SERVING_BATCH_DEFAULTS
+
+    # standalone --eval on TPU: measured-best serving batch
+    assert default_eval_batch("AASIST", "tpu", 24, eval_only=True) == \
+        SERVING_BATCH_DEFAULTS["AASIST"]
+    assert default_eval_batch("RawNet2Spoof", "tpu", 24,
+                              eval_only=True) == 256
+    # training on TPU: train batch (memory-safe beside the train graph)
+    assert default_eval_batch("AASIST", "tpu", 24, eval_only=False) == 24
+    # non-TPU backends: always the train batch
+    assert default_eval_batch("AASIST", "cpu", 24, eval_only=True) == 24
+    assert default_eval_batch("AASIST", "cpu", 4, eval_only=False) == 4
+
+
 # ------------------------------------------------------------------ config
 @pytest.mark.smoke
 def test_config_ingests_reference_format(tmp_path):
