@@ -689,7 +689,8 @@ def run_training(
         params = swa.avg
         loaders.train.set_epoch(n_epochs)
         model_state = reestimate_bn_stats(model, params, model_state,
-                                          iter(loaders.train))
+                                          iter(loaders.train),
+                                          mixed_precision=mp)
 
     eval_score_path = run_dir / cfg.eval_output
     evaluate_to_file(model, params, model_state, loaders.eval,

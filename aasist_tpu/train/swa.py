@@ -37,23 +37,41 @@ class SWAState:
 
 
 def reestimate_bn_stats(model, params, state, batches, *,
-                        max_batches: Optional[int] = None):
+                        max_batches: Optional[int] = None,
+                        mixed_precision: bool = False):
     """Recompute BN running stats under ``params`` (SWA ``bn_update``).
 
     torchcontrib resets BN momentum so the pass computes a true average
     over loader batches; here we run the model in train mode with
     momentum=1/(i+1) cumulative averaging, which reproduces that behaviour
     for our two-leaf (mean, var) state trees.
+
+    ``mixed_precision`` mirrors the train step's bf16 compute (round-4
+    on-TPU protocol run: the f32 full-window forward at batch 24 needs
+    17.5 GB HBM — the round-1 wall — while the bf16 graph the model
+    actually trained under fits; re-estimating under the training
+    precision is also the consistent choice).  Statistics aggregate in
+    f32 either way.
     """
     from aasist_tpu.nn import BN_MOMENTUM
+
+    if mixed_precision:
+        from aasist_tpu.nn import with_compute_dtype
+        model = with_compute_dtype(model, jnp.bfloat16)
 
     def batch_stats_step(p, s, x, rng):
         """Pure per-batch BN statistics, recovered from the running update:
         new = (1-m)*old + m*batch  =>  batch = (new - (1-m)*old) / m."""
+        if mixed_precision:
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p)
         (_, _), new_s = model.apply(p, s, x, train=True, rng=rng)
         m = BN_MOMENTUM
         return jax.tree_util.tree_map(
-            lambda new, old: (new - (1 - m) * old) / m, new_s, s)
+            lambda new, old: ((new.astype(jnp.float32)
+                               - (1 - m) * old.astype(jnp.float32)) / m),
+            new_s, s)
 
     jit_step = jax.jit(batch_stats_step)
     agg = None

@@ -337,6 +337,38 @@ def test_reestimate_bn_stats_numerically():
                                np.mean(uvars, axis=0), rtol=1e-4)
 
 
+def test_reestimate_bn_stats_mixed_precision():
+    """Round-4 on-TPU protocol regression: with mixed_precision the BN
+    re-estimation forward runs in bf16 (the f32 full-window graph OOMs
+    the chip; bf16 is also the precision the model trained under) and
+    the recovered statistics stay f32 and close to the f32 pass."""
+    import jax
+    from aasist_tpu.registry import build_model
+    from aasist_tpu.train.swa import reestimate_bn_stats
+
+    conf = {
+        "architecture": "AASIST",
+        "first_conv": 128,
+        "filts": [16, [1, 4], [4, 4], [4, 6], [6, 6]],
+        "gat_dims": [6, 8],
+        "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+        "temperatures": [2.0, 2.0, 100.0, 100.0],
+    }
+    model = build_model(conf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    batches = [(np.asarray(rng.standard_normal((2, 6000)) * 0.2,
+                           np.float32),) for _ in range(2)]
+
+    f32 = reestimate_bn_stats(model, params, state, iter(batches))
+    bf16 = reestimate_bn_stats(model, params, state, iter(batches),
+                               mixed_precision=True)
+    fb = np.asarray(f32["first_bn"]["mean"])
+    bb = np.asarray(bf16["first_bn"]["mean"])
+    assert bb.dtype == np.float32
+    np.testing.assert_allclose(bb, fb, rtol=5e-2, atol=5e-3)
+
+
 # ------------------------------------------------------- chained train step
 def test_chained_train_step_matches_sequential():
     """K chained optimizer steps == K sequential steps (same rng walk;
