@@ -555,6 +555,9 @@ def run_training(
 
     n_epochs = max_epochs if max_epochs is not None else cfg.num_epochs
     global_step = start_epoch * steps_per_epoch
+    # a resume that lands past the last epoch (crash during the final
+    # SWA/eval phase) runs zero epochs — train_loss must still be bound
+    train_loss = float("nan")
     for epoch in range(start_epoch, n_epochs):
         loaders.train.set_epoch(epoch)
         t0 = time.time()
