@@ -46,6 +46,13 @@ N_TRAIN, N_DEV, N_EVAL = 4, 4, 48
 FIXED_LEN = 64600
 BATCH = 8
 
+# -- big per-arch differential corpus (VERDICT r3 item 4: >=500 utts, all
+# architectures).  Mirrored in tools/verify_reference_parity.py.  WAV
+# container: the native FLAC decode path is already covered by the
+# 48-utt quick differential; the big corpus optimizes generation time.
+BIG_SEED = 99
+BIG_TRAIN, BIG_DEV, BIG_EVAL = 2, 2, 512
+
 
 def reference_pad(x: np.ndarray, max_len: int = FIXED_LEN) -> np.ndarray:
     """data_utils.py:45-52 semantics."""
@@ -118,5 +125,115 @@ def main():
           f"EER={eer:.6f}% min t-DCF={min_tdcf:.6f}")
 
 
+def _torch_model_for(arch: str):
+    """Reference-side model for the big differential, eval mode.
+
+    AASIST/AASIST-L load the shipped pretrained checkpoints; RawNet2 and
+    RawGAT-ST (no published checkpoints) reuse the seeded state_dicts
+    already committed inside the unit goldens, so both sides of the
+    differential run the exact same weights without storing them twice.
+    """
+    import json
+
+    def _load_sd_golden(model, golden_name):
+        data = np.load(os.path.join(OUT, golden_name))
+        sd = {k[len("sd__"):]: torch.from_numpy(data[k])
+              for k in data.files if k.startswith("sd__")}
+        model.load_state_dict(sd, strict=True)
+        return model
+
+    if arch in ("AASIST", "AASIST-L"):
+        conf = "AASIST.conf" if arch == "AASIST" else "AASIST-L.conf"
+        with open(os.path.join(REF, "config", conf)) as f:
+            cfg = json.load(f)
+        model = build_original_aasist(cfg["model_config"])
+        sd = torch.load(os.path.join(REF, f"models/weights/{arch}.pth"),
+                        map_location="cpu")
+        model.load_state_dict(sd, strict=True)
+    elif arch == "RawNet2":
+        from models.RawNet2Spoof import Model as RawNet2
+        with open(os.path.join(REF, "config",
+                               "RawNet2_baseline.conf")) as f:
+            cfg = json.load(f)
+        model = _load_sd_golden(RawNet2(cfg["model_config"]),
+                                "rawnet2_golden.npz")
+    elif arch == "RawGATST":
+        from models.RawNetGatSpoofST import Model as RawGATST
+        with open(os.path.join(REF, "config",
+                               "RawGATST_baseline.conf")) as f:
+            cfg = json.load(f)
+        model = _load_sd_golden(RawGATST(cfg["model_config"]),
+                                "rawgatst_golden.npz")
+    else:
+        raise ValueError(arch)
+    model.eval()
+    return model
+
+
+def main_big():
+    """Per-arch big differential goldens: 512 eval utterances through the
+    reference eval semantics (pad crop-or-tile, logits[:, 1] scoring,
+    calculate_tDCF_EER) for every architecture in the zoo."""
+    import json
+
+    import evaluation as ref_eval
+
+    from aasist_tpu.data import synthetic
+    from aasist_tpu.data.audio_io import read_audio
+    from aasist_tpu.data.protocol import parse_protocol
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "LA")
+        synthetic.generate(root, n_train=BIG_TRAIN, n_dev=BIG_DEV,
+                           n_eval=BIG_EVAL, seed=BIG_SEED,
+                           audio_format="wav")
+        proto = os.path.join(
+            root, "ASVspoof2019_LA_cm_protocols",
+            "ASVspoof2019.LA.cm.eval.trl.txt")
+        entries = parse_protocol(proto)
+        wav_dir = os.path.join(root, "ASVspoof2019_LA_eval", "flac")
+
+        rows, utt_ids = [], []
+        for e in entries:
+            wave, sr = read_audio(os.path.join(wav_dir, f"{e.utt_id}.wav"))
+            assert sr == 16000
+            rows.append(reference_pad(np.asarray(wave, np.float32)))
+            utt_ids.append(e.utt_id)
+        x = np.stack(rows)
+
+        asv_path = os.path.join(
+            root, "ASVspoof2019_LA_asv_scores",
+            "ASVspoof2019.LA.asv.eval.gi.trl.scores.txt")
+
+        for arch in ("AASIST", "AASIST-L", "RawNet2", "RawGATST"):
+            model = _torch_model_for(arch)
+            scores = []
+            with torch.no_grad():
+                for i in range(0, len(x), BATCH):
+                    _, logits = model(torch.from_numpy(x[i:i + BATCH]))
+                    scores.append(logits[:, 1].numpy())
+            scores = np.concatenate(scores)
+
+            cm_path = os.path.join(tmp, f"scores_{arch}.txt")
+            with open(cm_path, "w") as fh:
+                for e, sc in zip(entries, scores):
+                    fh.write(f"{e.utt_id} {e.src} {e.key} {sc}\n")
+            eer, min_tdcf = ref_eval.calculate_tDCF_EER(
+                cm_path, asv_path, os.path.join(tmp, f"tdcf_{arch}.txt"),
+                printout=False)
+
+            out = os.path.join(OUT, f"e2e_diff_big_{arch}.npz")
+            np.savez(out, utt_ids=np.array(utt_ids),
+                     scores=scores.astype(np.float32),
+                     eer=float(eer), min_tdcf=float(min_tdcf),
+                     corpus_seed=BIG_SEED, n_train=BIG_TRAIN,
+                     n_dev=BIG_DEV, n_eval=BIG_EVAL)
+            print(f"{arch}: {len(utt_ids)} utts EER={eer:.6f}% "
+                  f"min t-DCF={min_tdcf:.6f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--big" in sys.argv:
+        main_big()
+    else:
+        main()

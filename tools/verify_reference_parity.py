@@ -46,6 +46,7 @@ CKPT = os.path.join(REPO, "checkpoints", "AASIST.npz")
 
 # must mirror tools/make_e2e_golden.py
 CORPUS_SEED, N_TRAIN, N_DEV, N_EVAL = 77, 4, 4, 48
+BIG_SEED, BIG_TRAIN, BIG_DEV, BIG_EVAL = 99, 2, 2, 512
 
 FLAGSHIP_CONF = {
     "architecture": "AASIST",
@@ -56,8 +57,65 @@ FLAGSHIP_CONF = {
     "temperatures": [2.0, 2.0, 100.0, 100.0],
 }
 
+AASIST_L_CONF = {  # ref config/AASIST-L.conf model_config
+    "architecture": "AASIST",
+    "first_conv": 128,
+    "filts": [70, [1, 32], [32, 32], [32, 24], [24, 24]],
+    "gat_dims": [24, 32],
+    "pool_ratios": [0.4, 0.5, 0.7, 0.5],
+    "temperatures": [2.0, 2.0, 100.0, 100.0],
+}
 
-def _score_corpus(la_root: str, batch_size: int, out_dir: str):
+RAWNET2_CONF = {
+    "architecture": "RawNet2Spoof",
+    "nb_samp": 64600, "first_conv": 1024, "in_channels": 1,
+    "filts": [20, [20, 20], [20, 128], [128, 128]],
+    "blocks": [2, 4], "nb_fc_node": 1024, "gru_node": 1024,
+    "nb_gru_layer": 3, "nb_classes": 2,
+}
+
+RAWGATST_CONF = {
+    "architecture": "RawNetGatSpoofST",
+    "nb_samp": 64600, "first_conv": 128,
+    "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+}
+
+# per-arch (config, weight source, score tolerance).  RawNet2's score is
+# a LogSoftmax output downstream of a 3-layer GRU(1024) — the longest f32
+# accumulation chain in the zoo — so its tolerance is one decade looser.
+BIG_ARCHS = {
+    "AASIST": (FLAGSHIP_CONF, ("ckpt", "AASIST.npz"), 1e-4),
+    "AASIST-L": (AASIST_L_CONF, ("ckpt", "AASIST-L.npz"), 1e-4),
+    "RawNet2": (RAWNET2_CONF, ("golden_sd", "rawnet2_golden.npz"), 1e-3),
+    "RawGATST": (RAWGATST_CONF, ("golden_sd", "rawgatst_golden.npz"),
+                 5e-4),
+}
+
+
+def _build_arch(arch: str):
+    """Framework-side (model, params, state) for a BIG_ARCHS entry."""
+    import jax
+
+    from aasist_tpu.registry import build_model
+    from aasist_tpu.train.checkpoints import load_weights
+    from aasist_tpu.utils.torch_compat import fill_from_state_dict
+
+    conf, (kind, name), _tol = BIG_ARCHS[arch]
+    model = build_model(dict(conf))
+    if kind == "ckpt":
+        params, state = load_weights(
+            os.path.join(REPO, "checkpoints", name))
+    else:
+        data = np.load(os.path.join(REPO, "tests", "goldens", name))
+        sd = {k[len("sd__"):]: data[k] for k in data.files
+              if k.startswith("sd__")}
+        params, state = model.init(jax.random.PRNGKey(0))
+        params, state = fill_from_state_dict(params, state, sd)
+    return model, params, state
+
+
+def _score_corpus(la_root: str, batch_size: int, out_dir: str,
+                  model=None, params=None, state=None):
     """Full pipeline over `{la_root}/ASVspoof2019_LA_eval`: returns
     (utt_ids, scores, eer_pct, min_tdcf)."""
     from aasist_tpu.data import dataset as D
@@ -75,8 +133,9 @@ def _score_corpus(la_root: str, batch_size: int, out_dir: str):
     entries = parse_protocol(proto)
     files = [e.utt_id for e in entries]
 
-    model = build_model(dict(FLAGSHIP_CONF))
-    params, state = load_weights(CKPT)
+    if model is None:
+        model = build_model(dict(FLAGSHIP_CONF))
+        params, state = load_weights(CKPT)
     batcher = D.EvalBatcher(
         D.AudioStore(os.path.join(la_root, "ASVspoof2019_LA_eval")),
         files, batch_size=batch_size)
@@ -126,6 +185,48 @@ def run_synthetic(batch_size: int, out_dir: str) -> dict:
     }
 
 
+def run_synthetic_big(arch: str, batch_size: int, out_dir: str) -> dict:
+    """512-utterance per-arch differential vs the torch reference golden
+    (tests/goldens/e2e_diff_big_{arch}.npz, tools/make_e2e_golden.py
+    --big) — the scaled-up offline stand-in for the real-corpus run
+    (VERDICT r3 item 4)."""
+    from aasist_tpu.data import synthetic
+
+    conf, _src, tol = BIG_ARCHS[arch]
+    golden = np.load(os.path.join(REPO, "tests", "goldens",
+                                  f"e2e_diff_big_{arch}.npz"))
+    root = os.path.join(out_dir, "LA_big")
+    if not os.path.isdir(root):     # shared across archs in one run
+        synthetic.generate(root, n_train=BIG_TRAIN, n_dev=BIG_DEV,
+                           n_eval=BIG_EVAL, seed=BIG_SEED,
+                           audio_format="wav")
+    model, params, state = _build_arch(arch)
+    ids, scores, eer, min_tdcf = _score_corpus(
+        root, batch_size, out_dir, model=model, params=params, state=state)
+    assert list(ids) == [str(u) for u in golden["utt_ids"]]
+
+    ref_scores = np.asarray(golden["scores"], np.float64)
+    max_diff = float(np.max(np.abs(scores - ref_scores)))
+    # rank agreement modulo genuine near-ties: two utterances whose
+    # reference scores differ by less than 2*tol may legitimately swap
+    order, ref_order = np.argsort(scores), np.argsort(ref_scores)
+    swaps = order != ref_order
+    tie_ok = bool(np.all(np.abs(ref_scores[order[swaps]]
+                                - ref_scores[ref_order[swaps]]) < 2 * tol))
+    rank_ok = bool(np.array_equal(order, ref_order)) or tie_ok
+    eer_ok = abs(eer - float(golden["eer"])) < 1e-10
+    tdcf_ok = abs(min_tdcf - float(golden["min_tdcf"])) < 1e-10
+    return {
+        "mode": "synthetic_big", "arch": arch, "n_eval": int(BIG_EVAL),
+        "eer_pct": float(eer), "min_tdcf": float(min_tdcf),
+        "golden_eer_pct": float(golden["eer"]),
+        "golden_min_tdcf": float(golden["min_tdcf"]),
+        "max_abs_score_diff": max_diff, "score_tol": tol,
+        "rank_identical": rank_ok,
+        "pass": bool(max_diff < tol and rank_ok and eer_ok and tdcf_ok),
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--database_path", default=None,
@@ -135,12 +236,23 @@ def main(argv=None) -> int:
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--out_dir", default=None,
                     help="where to write the score file (default: tmp)")
+    ap.add_argument("--big", action="store_true",
+                    help="512-utterance per-arch differential over the "
+                         "whole zoo (synthetic corpus)")
+    ap.add_argument("--arch", default=None, choices=sorted(BIG_ARCHS),
+                    help="with --big: restrict to one architecture")
     args = ap.parse_args(argv)
 
     out_dir = args.out_dir or tempfile.mkdtemp(prefix="parity_")
     os.makedirs(out_dir, exist_ok=True)
     if args.database_path:
         verdict = run_real(args.database_path, args.batch_size, out_dir)
+    elif args.big:
+        archs = [args.arch] if args.arch else sorted(BIG_ARCHS)
+        per = {a: run_synthetic_big(a, args.batch_size, out_dir)
+               for a in archs}
+        verdict = {"mode": "synthetic_big", "archs": per,
+                   "pass": all(v["pass"] for v in per.values())}
     else:
         verdict = run_synthetic(args.batch_size, out_dir)
     print(json.dumps(verdict))
