@@ -180,8 +180,11 @@ def main(argv=None) -> int:
         eval_score_path = run_dir / cfg.eval_output
         # chained dispatch works under a DP mesh too (round 4): the
         # chained step shards the stacked input P(None, "data")
+        # standalone --eval: the measured-best chain is 16 (bench.py /
+        # docs/PERF.md, +5-8% over unchained at B=128); training-time
+        # scoring keeps the conservative 4 (train/loop.py)
         eval_chain = int(cfg.extras.get(
-            "eval_chain", 4 if jax.default_backend() == "tpu" else 1))
+            "eval_chain", 16 if jax.default_backend() == "tpu" else 1))
         evaluate_to_file(model, params, model_state, loaders.eval,
                          loaders.eval_trial_meta, eval_score_path,
                          chain=eval_chain, mesh=mesh)

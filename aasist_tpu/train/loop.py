@@ -435,6 +435,15 @@ def produce_scores(model, params, model_state, batcher,
 def evaluate_to_file(model, params, model_state, batcher, trial_meta,
                      score_path, eval_step=None, chain: int = 1,
                      mesh=None) -> None:
+    # a chain longer than the whole set wastes padded forwards (the
+    # final partial group repeats its last batch); clamp to the actual
+    # batch count when the batcher exposes it.  Only safe without a
+    # pre-built eval_step — a provided step is compiled for `chain`.
+    utt_ids = getattr(batcher, "utt_ids", None)
+    bs = getattr(batcher, "batch_size", None)
+    if eval_step is None and utt_ids is not None and bs:
+        n_batches = max(1, -(-len(utt_ids) // bs))
+        chain = max(1, min(chain, n_batches))
     ids, scores = produce_scores(model, params, model_state, batcher,
                                  eval_step, chain=chain, mesh=mesh)
     write_score_file(score_path, ids, scores, trial_meta)
