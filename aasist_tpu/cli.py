@@ -163,6 +163,13 @@ def main(argv=None) -> int:
             print(f"Data-parallel mesh: {d} devices")
 
     model = build_model(cfg.model_config)
+    if mesh is not None and hasattr(model, "spmd_mesh"):
+        # the fused Pallas frontend is a custom call GSPMD cannot
+        # partition on its own; under a DP mesh the model must route it
+        # through shard_map (fused_frontend_mesh).  Without this, a
+        # config-set use_fused_frontend would hand the unsharded kernel
+        # a sharded batch (round-4 review finding).
+        model.spmd_mesh = mesh
     params, _ = model.init(jax.random.PRNGKey(0))
     from aasist_tpu.models.aasist import count_params
     print(f"no. model params: {count_params(params)}")

@@ -228,15 +228,10 @@ class AasistModel:
                 raise ValueError("freq_aug requires an rng key")
             bank = L.freq_mask_filterbank(aug_rng, bank)
         if self.use_fused_frontend and not train:
-            from aasist_tpu.ops.fused_frontend import (fused_frontend,
-                                                       fused_frontend_sharded)
-            if self.spmd_mesh is not None:
-                x = fused_frontend_sharded(x, bank, params["first_bn"],
-                                           state["first_bn"],
-                                           mesh=self.spmd_mesh)
-            else:
-                x = fused_frontend(x, bank, params["first_bn"],
-                                   state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import fused_frontend_mesh
+            x = fused_frontend_mesh(x, bank, params["first_bn"],
+                                    state["first_bn"],
+                                    mesh=self.spmd_mesh)
             new_state["first_bn"] = state["first_bn"]
         else:
             x = L.sinc_frontend(bank, x)                  # (B, C, L')

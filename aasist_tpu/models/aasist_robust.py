@@ -143,15 +143,10 @@ class AasistRobustModel:
         if self.use_fused_frontend and not train:
             # same eval chain as AASIST (noise/denoise are train-only), so
             # the fused Pallas frontend drops in; see models/aasist.py
-            from aasist_tpu.ops.fused_frontend import (
-                fused_frontend, fused_frontend_sharded)
-            if self.spmd_mesh is not None:
-                h = fused_frontend_sharded(x, bank, params["first_bn"],
-                                           state["first_bn"],
-                                           mesh=self.spmd_mesh)
-            else:
-                h = fused_frontend(x, bank, params["first_bn"],
-                                   state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import fused_frontend_mesh
+            h = fused_frontend_mesh(x, bank, params["first_bn"],
+                                    state["first_bn"],
+                                    mesh=self.spmd_mesh)
             new_state["first_bn"] = state["first_bn"]
         else:
             h = L.sinc_frontend(bank, x)

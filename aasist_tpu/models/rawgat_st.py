@@ -123,15 +123,10 @@ class RawGatStModel:
             if aug is not None:
                 bank = L.freq_mask_filterbank(aug, bank)
         if self.use_fused_frontend and not train:
-            from aasist_tpu.ops.fused_frontend import (fused_frontend,
-                                                       fused_frontend_sharded)
-            if self.spmd_mesh is not None:
-                h = fused_frontend_sharded(x, bank, params["first_bn"],
-                                           state["first_bn"],
-                                           mesh=self.spmd_mesh)
-            else:
-                h = fused_frontend(x, bank, params["first_bn"],
-                                   state["first_bn"])
+            from aasist_tpu.ops.fused_frontend import fused_frontend_mesh
+            h = fused_frontend_mesh(x, bank, params["first_bn"],
+                                    state["first_bn"],
+                                    mesh=self.spmd_mesh)
             new_state["first_bn"] = state["first_bn"]
         else:
             h = L.sinc_frontend(bank, x)

@@ -190,6 +190,17 @@ def fused_frontend(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     return jnp.transpose(out[:23, :, :t_out], (1, 0, 2))[:, None]
 
 
+def fused_frontend_mesh(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
+                        *, mesh=None, axis: str = "data") -> jnp.ndarray:
+    """Mesh-aware entry point: plain kernel on one device, shard_map'd
+    over the data axis under a mesh.  Models route through this single
+    call so the dispatch logic lives in one place (round-4 review)."""
+    if mesh is None:
+        return fused_frontend(x, bank, bn_p, bn_s)
+    return fused_frontend_sharded(x, bank, bn_p, bn_s, mesh=mesh,
+                                  axis=axis)
+
+
 def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
                            *, mesh, axis: str = "data") -> jnp.ndarray:
     """``fused_frontend`` under a data-parallel mesh.

@@ -86,9 +86,13 @@ def save_train_state(directory, ckpt: TrainCheckpoint) -> None:
         np.savez(tmp / "swa.npz",
                  **pytree_io.flatten_tree(ckpt.swa_avg))
     (tmp / "meta.json").write_text(json.dumps(_meta_of(ckpt)))
-    if old.exists():
-        shutil.rmtree(old)
+    # clear .old ONLY when a primary exists to take its place: in the
+    # post-crash-recovery state (primary missing, .old holding the only
+    # complete checkpoint) an early rmtree(old) would leave a window
+    # with no loadable state at all
     if directory.exists():
+        if old.exists():
+            shutil.rmtree(old)
         os.replace(directory, old)
     os.replace(tmp, directory)
     if old.exists():

@@ -175,6 +175,42 @@ def test_train_state_save_is_crash_safe(tmp_path):
     assert loaded.step == 2
 
 
+def test_save_after_crash_recovery_keeps_a_loadable_state(tmp_path,
+                                                          monkeypatch):
+    """Round-4 review: in the post-crash-recovery state (primary gone,
+    .old the only complete checkpoint) the NEXT save must not delete
+    .old before the new primary is installed — a crash right before the
+    tmp->primary rename would otherwise leave nothing loadable."""
+    import os
+
+    ck, opt, ckpt = _tiny_ckpt()
+    d = tmp_path / "st"
+    ck.save_train_state(d, ckpt)
+    os.replace(d, d.with_name("st.old"))   # recovery state: only .old
+
+    # crash injection: die at the tmp->primary rename
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        if str(dst) == str(d):
+            raise RuntimeError("injected crash before final rename")
+        return real_replace(src, dst)
+
+    ckpt2 = ck.TrainCheckpoint(**{**ckpt.__dict__, "step": 2})
+    monkeypatch.setattr(ck.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError):
+        ck.save_train_state(d, ckpt2)
+    monkeypatch.setattr(ck.os, "replace", real_replace)
+
+    # .old must have survived the crashed save
+    loaded = ck.load_train_state(d, opt.init(ckpt.params))
+    assert loaded.step == 1
+    # and a clean save afterwards swaps in the new state
+    ck.save_train_state(d, ckpt2)
+    assert ck.load_train_state(d, opt.init(ckpt.params)).step == 2
+    assert not d.with_name("st.old").exists()
+
+
 def test_registry_import_errors_are_loud(monkeypatch):
     """VERDICT round 3, weak #5: an import bug in a model module must fail
     loudly, not silently shrink the zoo."""

@@ -40,7 +40,10 @@ def run_one(name: str, extra: str, timeout_s: float = 1200.0):
         a for a in (os.environ.get("LIBTPU_INIT_ARGS", ""), BASE, extra)
         if a).strip()
     env["BENCH_SCOPED_VMEM"] = "0"       # flags are set here, not by bench
-    env["BENCH_WATCHDOG"] = str(max(int(timeout_s) - 60, 600))
+    # the in-bench watchdog must stay BELOW the subprocess timeout, or a
+    # slow run is killed externally and recorded as 'no measurement'
+    # instead of the watchdog's partial JSON (round-4 review)
+    env["BENCH_WATCHDOG"] = str(max(int(timeout_s) - 60, 60))
     t0 = time.time()
     try:
         res = subprocess.run([sys.executable, "bench.py"], env=env,

@@ -196,10 +196,18 @@ def run_synthetic_big(arch: str, batch_size: int, out_dir: str) -> dict:
     golden = np.load(os.path.join(REPO, "tests", "goldens",
                                   f"e2e_diff_big_{arch}.npz"))
     root = os.path.join(out_dir, "LA_big")
-    if not os.path.isdir(root):     # shared across archs in one run
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):  # shared across archs in one run;
+        # a partial corpus from an interrupted run must regenerate, not
+        # be silently reused (round-4 review)
+        import shutil
+        if os.path.isdir(root):
+            shutil.rmtree(root)
         synthetic.generate(root, n_train=BIG_TRAIN, n_dev=BIG_DEV,
                            n_eval=BIG_EVAL, seed=BIG_SEED,
                            audio_format="wav")
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
     model, params, state = _build_arch(arch)
     ids, scores, eer, min_tdcf = _score_corpus(
         root, batch_size, out_dir, model=model, params=params, state=state)
