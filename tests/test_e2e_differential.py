@@ -71,19 +71,38 @@ def test_big_differential_per_arch(arch, tmp_path_factory):
     (VERDICT r3 item 4: >=500 utts, per-arch goldens).  AASIST/AASIST-L
     run the shipped pretrained checkpoints; RawNet2/RawGAT-ST run the
     seeded reference state_dicts committed in the unit goldens — both
-    sides of the differential share exact weights either way."""
+    sides of the differential share exact weights either way.
+
+    Runs the harness in a SUBPROCESS with the production environment:
+    the suite's ``xla_force_host_platform_device_count=8`` virtual-mesh
+    flag changes XLA-CPU conv reduction splits and inflates the f32
+    score drift ~160x (measured: 4.4e-5 plain vs 7.1e-3 under the
+    flag), which is an artifact of the test harness, not the pipeline.
+    The 1e-4-class tolerances are calibrated for the real backend."""
+    import json
+    import subprocess
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
-                                    "tools"))
-    try:
-        import verify_reference_parity as vrp
-    finally:
-        sys.path.pop(0)
-
-    # one corpus dir for the whole module run: run_synthetic_big
-    # regenerates only if {out_dir}/LA_big is absent
+    # one corpus dir for the whole module run (the harness regenerates
+    # only when the completion marker is absent)
     tmp = tmp_path_factory.getbasetemp() / "e2e_big_shared"
     tmp.mkdir(exist_ok=True)
-    verdict = vrp.run_synthetic_big(arch, batch_size=32, out_dir=str(tmp))
-    assert verdict["pass"], verdict
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    # force CPU via jax.config: the axon sitecustomize overrides the
+    # JAX_PLATFORMS env var (tests/conftest.py docstring)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        f"import sys; sys.path.insert(0, {tools_dir!r})\n"
+        "import verify_reference_parity as vrp\n"
+        f"sys.exit(vrp.main(['--big', '--arch', {arch!r}, "
+        f"'--batch_size', '32', '--out_dir', {str(tmp)!r}]))\n")
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, capture_output=True, text=True, timeout=1500)
+    line = next((ln for ln in res.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    assert line, (res.returncode, res.stdout[-500:], res.stderr[-500:])
+    verdict = json.loads(line)
+    assert res.returncode == 0 and verdict["pass"], verdict
