@@ -93,7 +93,8 @@ def build_loaders(cfg, seed: int, mesh=None, eval_only: bool = False):
     eval_bs = int(cfg.extras.get("eval_batch_size", default_eval_bs))
     if mesh is not None:
         # the batch axis must divide the mesh's data axis
-        d = mesh.shape.get("data", 1)
+        from aasist_tpu.parallel.mesh import DATA_AXIS
+        d = mesh.shape.get(DATA_AXIS, 1)
         eval_bs = max(d, (eval_bs // d) * d)
     dev = D.EvalBatcher(
         D.AudioStore(cfg.audio_dir("dev")), dev_files,

@@ -113,6 +113,15 @@ class AasistModel:
         # different rounding), which the f64 bit-parity gates must not
         # see; bench/serving enable it like the fused frontend.
         self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
+        if self.use_bn_fold and \
+                model_config.get("encoder_type", "residual") == "res2net":
+            # fail loudly instead of silently measuring nothing: the
+            # fold is implemented for the original Residual_block
+            # geometry only (round-4 review)
+            raise ValueError(
+                "use_bn_fold is not implemented for the res2net encoder"
+                " (AASIST2); drop the flag or use encoder_type"
+                " 'residual'")
         # eval-only augmented-channel form of strongly channel-expanding
         # downsample blocks (the downsample conv rides inside conv2 as
         # identity input channels, killing its full-size HBM round-trip;

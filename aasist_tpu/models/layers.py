@@ -414,8 +414,16 @@ def residual_block_apply_stacked2(
     """
     del first
     if fold_bn:
-        ca = fold_bn_after_conv(pa["conv1"], pa["bn2"], sa["bn2"])
-        cb = fold_bn_after_conv(pb["conv1"], pb["bn2"], sb["bn2"])
+        # pre-folded params (fold_encoder_bn) take precedence, same as
+        # residual_block_apply — folding outside jit keeps the conv
+        # weights plain parameters (round-4 review: this branch used to
+        # ignore conv1_folded, re-deriving the fold per call)
+        ca = pa.get("conv1_folded")
+        if ca is None:
+            ca = fold_bn_after_conv(pa["conv1"], pa["bn2"], sa["bn2"])
+        cb = pb.get("conv1_folded")
+        if cb is None:
+            cb = fold_bn_after_conv(pb["conv1"], pb["bn2"], sb["bn2"])
     else:
         ca, cb = pa["conv1"], pb["conv1"]
     out = _stacked_conv2d(ca, cb, x, padding=((1, 1), (1, 1)),

@@ -56,6 +56,10 @@ class RawGatStModel:
         self.use_stacked_encoders = bool(model_config.get(
             "use_stacked_encoders", False))
         self.stacked_mode = str(model_config.get("stacked_mode", "dense"))
+        if self.stacked_mode not in ("dense", "grouped"):
+            raise ValueError(
+                f"stacked_mode must be 'dense' or 'grouped', got"
+                f" {self.stacked_mode!r}")
         # eval-mode bn2-into-conv1 fold (layers.fold_bn_after_conv)
         self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
 

@@ -212,7 +212,10 @@ def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     embarrassingly batch-parallel — no halo, no collectives), with the
     filterbank and BN leaves replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.9 stable API
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(xl, bk, bp, bs):

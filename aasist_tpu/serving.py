@@ -112,7 +112,11 @@ class Scorer:
                 # for the UNfused path (default 1).  Chunking only exists
                 # to fit batch >= 256; below that unchunked is the
                 # measured win.  A config-set value > 1 is respected.
-                if model.b0_chunks == 1 and batch_size >= 256:
+                # Only the AASIST family has the knob — RawGAT-ST shares
+                # the fused frontend but not block0 chunking (round-4
+                # review: an unconditional read crashed its TPU path).
+                if getattr(model, "b0_chunks", None) == 1 \
+                        and batch_size >= 256:
                     model.b0_chunks = 2
         self.model = model
         self._params = params

@@ -337,7 +337,8 @@ def make_chained_eval_step(model, chain: int, mesh=None):
         return jax.jit(fwd)
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
-    xsh = NamedSharding(mesh, P(None, "data"))
+    from aasist_tpu.parallel.mesh import DATA_AXIS
+    xsh = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.jit(fwd, in_shardings=(repl, repl, xsh),
                    out_shardings=repl)
 

@@ -100,7 +100,7 @@ def test_big_differential_per_arch(arch, tmp_path_factory):
         f"'--batch_size', '32', '--out_dir', {str(tmp)!r}]))\n")
     res = subprocess.run(
         [sys.executable, "-c", code],
-        env=env, capture_output=True, text=True, timeout=1500)
+        env=env, capture_output=True, text=True, timeout=2700)
     line = next((ln for ln in res.stdout.splitlines()
                  if ln.startswith("{")), None)
     assert line, (res.returncode, res.stdout[-500:], res.stderr[-500:])

@@ -181,3 +181,40 @@ def test_per_arch_serving_batch_defaults():
     s3 = Scorer(model, params, state, batch_size=4, window=16000,
                 bf16=False)
     assert s3.batch_size == 4
+
+
+def test_scorer_fused_frontend_rawgat_no_b0_chunks_crash():
+    """Round-4 review: enabling the fused frontend for an architecture
+    without the b0_chunks knob (RawGAT-ST, AASIST_Robust) must not
+    crash Scorer init — two of five zoo archs were unservable on the
+    TPU default path."""
+    conf = {"architecture": "RawNetGatSpoofST", "nb_samp": 64600,
+            "first_conv": 128,
+            "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]]}
+    model = build_model(conf)
+    params, state = model.init(jax.random.PRNGKey(0))
+    s = Scorer(model, params, state, batch_size=256,
+               use_fused_frontend=True, bf16=False)
+    assert s.model.use_fused_frontend is True
+    assert not hasattr(model, "b0_chunks")
+
+
+def test_model_config_validation():
+    """Round-4 review: misconfigurations fail loudly at build time."""
+    import pytest
+
+    rawgat = {"architecture": "RawNetGatSpoofST", "nb_samp": 64600,
+              "first_conv": 128,
+              "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]]}
+    with pytest.raises(ValueError, match="stacked_mode"):
+        build_model({**rawgat, "use_stacked_encoders": True,
+                     "stacked_mode": "Dense"})
+
+    aasist2 = {"architecture": "AASIST", "first_conv": 128,
+               "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+               "gat_dims": [64, 32],
+               "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+               "temperatures": [2.0, 2.0, 100.0, 100.0],
+               "encoder_type": "res2net"}
+    with pytest.raises(ValueError, match="use_bn_fold"):
+        build_model({**aasist2, "use_bn_fold": True})
