@@ -131,7 +131,13 @@ class AudioStore:
             # <=24-bit PCM; the pipeline is float32 downstream anyway)
             from aasist_tpu.data.flac_native import read_flac_f32
             data, _sr = read_flac_f32(p)
-            return np.asarray(data)
+            data = np.asarray(data)
+            if data.ndim > 1:
+                # stereo/multichannel: mean-downmix, matching the WAV
+                # reader (round-4 review: FLAC used to return (n, ch)
+                # while the same audio as WAV came back mono)
+                data = data.mean(axis=1, dtype=np.float32)
+            return data
         p = self._flac / f"{utt_id}.wav"
         if p.exists():
             data, _sr = audio_io.read_audio(p)
@@ -210,7 +216,9 @@ def _pad_batch_rows(rows: List[np.ndarray], pad_rows_to: int
     n_real = len(rows)
     if n_real < pad_rows_to:
         rows = rows + [rows[-1]] * (pad_rows_to - n_real)
-    return np.stack(rows).astype(np.float32), n_real
+    # copy=False: FLAC-path rows are already float32 — avoid a full
+    # redundant batch copy on the loader hot path (round-4 review)
+    return np.stack(rows).astype(np.float32, copy=False), n_real
 
 
 class EvalBatcher:
@@ -279,6 +287,15 @@ class TrainBatcher:
         self.seed = seed
         self.dcs_buckets = (np.sort(np.asarray(dcs_buckets))
                             if dcs_buckets is not None else None)
+        if (self.dcs_buckets is not None
+                and int(self.dcs_buckets[-1]) < dcs_max):
+            # snap_up_to_bucket clamps to the top bucket; a bucket set
+            # that doesn't cover dcs_max would silently produce rows
+            # shorter than their chunk target and crash np.stack with
+            # ragged shapes mid-epoch (round-4 review) — fail at build
+            raise ValueError(
+                f"dcs_buckets top ({int(self.dcs_buckets[-1])}) must"
+                f" cover dcs_max ({dcs_max})")
         self.dcs_min = dcs_min
         self.dcs_max = dcs_max
         self.fixed_len = fixed_len
@@ -339,7 +356,8 @@ class TrainBatcher:
                         pad_to = self.fixed_len
                     out = list(pool.map(load_row, ids, targets,
                                         [pad_to] * len(ids), row_rngs))
-                    x = np.stack([r for r, _ in out]).astype(np.float32)
+                    x = np.stack([r for r, _ in out]).astype(
+                        np.float32, copy=False)
                     y = np.asarray([self.labels[u] for u in ids],
                                    np.int32)
                     dur = np.asarray([d for _, d in out], np.float32)

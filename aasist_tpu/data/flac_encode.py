@@ -143,8 +143,8 @@ def _write_residual(bw: BitWriter, res: np.ndarray, order: int,
             param = _best_rice_param(part)
             bw.write(param, 4)
             for v in part:
-                u = (int(v) << 1) ^ (int(v) >> 63) if False else (
-                    2 * int(v) if v >= 0 else -2 * int(v) - 1)
+                # zigzag: non-negative -> even, negative -> odd
+                u = 2 * int(v) if v >= 0 else -2 * int(v) - 1
                 bw.write_unary(u >> param)
                 bw.write(u & ((1 << param) - 1), param)
 

@@ -13,7 +13,6 @@ operating point, cost model constants from the 2019 evaluation plan
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -140,15 +139,6 @@ def compute_tdcf(
     return tdcf_norm, cm_thresholds
 
 
-@dataclasses.dataclass
-class TDCFEERResult:
-    eer: float            # CM EER, percent
-    min_tdcf: float       # minimum normalized t-DCF
-    eer_breakdown: Dict[str, float]  # per-attack EER, percent
-    eer_asv: float
-    asv_threshold: float
-
-
 def calculate_tdcf_eer(
     cm_scores_file,
     asv_score_file,
@@ -165,7 +155,10 @@ def calculate_tdcf_eer(
     asv_keys = asv_data[:, 1]
     asv_scores = asv_data[:, 2].astype(np.float64)
 
-    cm_data = np.genfromtxt(cm_scores_file, dtype=str)
+    # atleast_2d: a single-line score file parses to shape (4,), which
+    # would crash the column slicing (round-4 review; --debug_subset
+    # with n_dev=1 hits this)
+    cm_data = np.atleast_2d(np.genfromtxt(cm_scores_file, dtype=str))
     cm_sources = cm_data[:, 1]
     cm_keys = cm_data[:, 2]
     cm_scores = cm_data[:, 3].astype(np.float64)
@@ -181,7 +174,7 @@ def calculate_tdcf_eer(
     eer_cm = compute_eer(bona_cm, spoof_cm)[0]
 
     breakdown: Dict[str, float] = {}
-    if printout:
+    if printout or output_file is not None:
         for attack in ATTACK_TYPES:
             sub = cm_scores[cm_sources == attack]
             breakdown[attack] = compute_eer(bona_cm, sub)[0] * 100
@@ -193,7 +186,12 @@ def calculate_tdcf_eer(
         bona_cm, spoof_cm, pfa_asv, pmiss_asv, pmiss_spoof_asv)
     min_tdcf = float(tdcf_curve[int(np.argmin(tdcf_curve))])
 
-    if printout and output_file is not None:
+    # the report file is written whenever a path is given — the train
+    # loop requests per-epoch report files with printout=False, and the
+    # old `printout and output_file` gate silently dropped every one of
+    # them (round-4 review; the reference always writes these,
+    # ref main.py:164-169)
+    if output_file is not None:
         lines = ["\nCM SYSTEM",
                  "\tEER\t\t= {:8.9f} % "
                  "(Equal error rate for countermeasure)".format(eer_cm * 100),
@@ -207,6 +205,7 @@ def calculate_tdcf_eer(
         text = "\n".join(lines) + "\n"
         with open(output_file, "w") as f:
             f.write(text)
-        print(text)
+        if printout:
+            print(text)
 
     return eer_cm * 100, min_tdcf

@@ -77,12 +77,13 @@ def score_long_audio(
 
     scores = np.empty(len(windows), np.float64)
 
+    from aasist_tpu.parallel.mesh import pad_batch_to_multiple
+
     def dispatch(i):
-        chunk = windows[i:i + batch_size]
-        n_real = len(chunk)
-        if n_real < batch_size:
-            chunk = np.concatenate(
-                [chunk, np.tile(chunk[-1:], (batch_size - n_real, 1))])
+        # repeat-last-row padding shared with the mesh layer (the tail
+        # batch keeps the jitted scorer's static shape)
+        chunk, n_real = pad_batch_to_multiple(
+            windows[i:i + batch_size], batch_size)
         return batched_scorer(chunk), i, n_real
 
     def drain(ticket):

@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
 #include <vector>
 
 namespace {
@@ -377,7 +378,12 @@ DecodeResult decode(const uint8_t* data, size_t size) {
     fail(res, "unsupported stream parameters");
     return res;
   }
-  if (si.total_samples)
+  // reserve only for sane declared sizes: the 36-bit total_samples field
+  // is attacker/corruption-controlled, and an absurd value must not turn
+  // into a multi-TB allocation here (the growth path below is amortized
+  // and any bad_alloc is caught at the C ABI boundary)
+  if (si.total_samples &&
+      (uint64_t)si.total_samples * si.channels < (1ull << 31))
     res.samples.reserve((size_t)si.total_samples * si.channels);
 
   std::vector<std::vector<int32_t>> chans(si.channels);
@@ -569,6 +575,12 @@ DecodeResult decode(const uint8_t* data, size_t size) {
       return res;
     }
   }
+  // KNOWN LIMIT: when STREAMINFO declares total_samples = 0 (legal for
+  // piped/streamed encodes) a stream cut exactly at a frame boundary is
+  // indistinguishable from a complete one without verifying the
+  // STREAMINFO MD5 (not implemented); ASVspoof corpora and this
+  // framework's encoder always declare the length, so the guard above
+  // covers every file this loader is pointed at.
   res.ok = true;
   return res;
 }
@@ -582,49 +594,65 @@ int flac_decode_buffer(const uint8_t* data, int64_t size,
                        int32_t** out_samples, int64_t* out_n_frames,
                        int32_t* out_sample_rate, int32_t* out_channels,
                        int32_t* out_bps, char* err, int64_t err_len) {
-  DecodeResult r = decode(data, (size_t)size);
-  if (!r.ok) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
-    return 1;
+  // exceptions (e.g. bad_alloc on corrupt sizes) must not cross
+  // the C ABI: catch and report as an error code (round-4 review)
+  try {
+    DecodeResult r = decode(data, (size_t)size);
+    if (!r.ok) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
+      return 1;
+    }
+    size_t n = r.samples.size();
+    int32_t* buf = (int32_t*)malloc(n * sizeof(int32_t));
+    if (!buf) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
+      return 2;
+    }
+    memcpy(buf, r.samples.data(), n * sizeof(int32_t));
+    *out_samples = buf;
+    *out_n_frames = (int64_t)(n / r.info.channels);
+    *out_sample_rate = (int32_t)r.info.sample_rate;
+    *out_channels = (int32_t)r.info.channels;
+    *out_bps = (int32_t)r.info.bps;
+    return 0;
+  } catch (const std::exception& e) {
+    if (err && err_len > 0)
+      snprintf(err, (size_t)err_len, "decoder exception: %s", e.what());
+    return 5;
   }
-  size_t n = r.samples.size();
-  int32_t* buf = (int32_t*)malloc(n * sizeof(int32_t));
-  if (!buf) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
-    return 2;
-  }
-  memcpy(buf, r.samples.data(), n * sizeof(int32_t));
-  *out_samples = buf;
-  *out_n_frames = (int64_t)(n / r.info.channels);
-  *out_sample_rate = (int32_t)r.info.sample_rate;
-  *out_channels = (int32_t)r.info.channels;
-  *out_bps = (int32_t)r.info.bps;
-  return 0;
 }
 
 int flac_decode_file(const char* path, int32_t** out_samples,
                      int64_t* out_n_frames, int32_t* out_sample_rate,
                      int32_t* out_channels, int32_t* out_bps, char* err,
                      int64_t err_len) {
-  FILE* f = fopen(path, "rb");
-  if (!f) {
+  // exceptions (e.g. bad_alloc on corrupt sizes) must not cross
+  // the C ABI: catch and report as an error code (round-4 review)
+  try {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+      if (err && err_len > 0)
+        snprintf(err, (size_t)err_len, "cannot open %s", path);
+      return 3;
+    }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf((size_t)sz);
+    size_t rd = fread(buf.data(), 1, (size_t)sz, f);
+    fclose(f);
+    if (rd != (size_t)sz) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
+      return 4;
+    }
+    return flac_decode_buffer(buf.data(), sz, out_samples, out_n_frames,
+                              out_sample_rate, out_channels, out_bps, err,
+                              err_len);
+  } catch (const std::exception& e) {
     if (err && err_len > 0)
-      snprintf(err, (size_t)err_len, "cannot open %s", path);
-    return 3;
+      snprintf(err, (size_t)err_len, "decoder exception: %s", e.what());
+    return 5;
   }
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf((size_t)sz);
-  size_t rd = fread(buf.data(), 1, (size_t)sz, f);
-  fclose(f);
-  if (rd != (size_t)sz) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
-    return 4;
-  }
-  return flac_decode_buffer(buf.data(), sz, out_samples, out_n_frames,
-                            out_sample_rate, out_channels, out_bps, err,
-                            err_len);
 }
 
 void flac_free(int32_t* p) { free(p); }
@@ -635,50 +663,66 @@ int flac_decode_buffer_f32(const uint8_t* data, int64_t size,
                            float** out_samples, int64_t* out_n_frames,
                            int32_t* out_sample_rate, int32_t* out_channels,
                            int32_t* out_bps, char* err, int64_t err_len) {
-  DecodeResult r = decode(data, (size_t)size);
-  if (!r.ok) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
-    return 1;
+  // exceptions (e.g. bad_alloc on corrupt sizes) must not cross
+  // the C ABI: catch and report as an error code (round-4 review)
+  try {
+    DecodeResult r = decode(data, (size_t)size);
+    if (!r.ok) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "%s", r.error);
+      return 1;
+    }
+    size_t n = r.samples.size();
+    float* buf = (float*)malloc(n * sizeof(float));
+    if (!buf) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
+      return 2;
+    }
+    const float scale = 1.0f / (float)(1u << (r.info.bps - 1));
+    for (size_t i = 0; i < n; i++) buf[i] = (float)r.samples[i] * scale;
+    *out_samples = buf;
+    *out_n_frames = (int64_t)(n / r.info.channels);
+    *out_sample_rate = (int32_t)r.info.sample_rate;
+    *out_channels = (int32_t)r.info.channels;
+    *out_bps = (int32_t)r.info.bps;
+    return 0;
+  } catch (const std::exception& e) {
+    if (err && err_len > 0)
+      snprintf(err, (size_t)err_len, "decoder exception: %s", e.what());
+    return 5;
   }
-  size_t n = r.samples.size();
-  float* buf = (float*)malloc(n * sizeof(float));
-  if (!buf) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "oom");
-    return 2;
-  }
-  const float scale = 1.0f / (float)(1u << (r.info.bps - 1));
-  for (size_t i = 0; i < n; i++) buf[i] = (float)r.samples[i] * scale;
-  *out_samples = buf;
-  *out_n_frames = (int64_t)(n / r.info.channels);
-  *out_sample_rate = (int32_t)r.info.sample_rate;
-  *out_channels = (int32_t)r.info.channels;
-  *out_bps = (int32_t)r.info.bps;
-  return 0;
 }
 
 int flac_decode_file_f32(const char* path, float** out_samples,
                          int64_t* out_n_frames, int32_t* out_sample_rate,
                          int32_t* out_channels, int32_t* out_bps, char* err,
                          int64_t err_len) {
-  FILE* f = fopen(path, "rb");
-  if (!f) {
+  // exceptions (e.g. bad_alloc on corrupt sizes) must not cross
+  // the C ABI: catch and report as an error code (round-4 review)
+  try {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+      if (err && err_len > 0)
+        snprintf(err, (size_t)err_len, "cannot open %s", path);
+      return 3;
+    }
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> buf((size_t)sz);
+    size_t rd = fread(buf.data(), 1, (size_t)sz, f);
+    fclose(f);
+    if (rd != (size_t)sz) {
+      if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
+      return 4;
+    }
+    return flac_decode_buffer_f32(buf.data(), sz, out_samples, out_n_frames,
+                                  out_sample_rate, out_channels, out_bps,
+                                  err, err_len);
+  } catch (const std::exception& e) {
     if (err && err_len > 0)
-      snprintf(err, (size_t)err_len, "cannot open %s", path);
-    return 3;
+      snprintf(err, (size_t)err_len, "decoder exception: %s", e.what());
+    return 5;
   }
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf((size_t)sz);
-  size_t rd = fread(buf.data(), 1, (size_t)sz, f);
-  fclose(f);
-  if (rd != (size_t)sz) {
-    if (err && err_len > 0) snprintf(err, (size_t)err_len, "short read");
-    return 4;
-  }
-  return flac_decode_buffer_f32(buf.data(), sz, out_samples, out_n_frames,
-                                out_sample_rate, out_channels, out_bps,
-                                err, err_len);
 }
 
 void flac_free_f32(float* p) { free(p); }

@@ -39,3 +39,17 @@ def test_every_bitflip_detected(stream):
         corrupted[pos] ^= 0xFF
         with pytest.raises(flac_native.FlacDecodeError):
             flac_native.read_flac_bytes(bytes(corrupted))
+
+
+def test_huge_declared_total_samples_raises(stream):
+    """Round-4 review: a corrupt STREAMINFO declaring ~2^36 samples must
+    raise FlacDecodeError, not abort the process via an uncaught
+    std::bad_alloc from a multi-TB reserve (exceptions now stop at the
+    C ABI; absurd declared sizes also skip the reserve)."""
+    corrupted = bytearray(stream)
+    # STREAMINFO total_samples: low 4 bits of byte 21 + bytes 22-25
+    corrupted[21] |= 0x0F
+    for i in (22, 23, 24, 25):
+        corrupted[i] = 0xFF
+    with pytest.raises(flac_native.FlacDecodeError):
+        flac_native.read_flac_bytes(bytes(corrupted))

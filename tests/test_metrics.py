@@ -72,3 +72,48 @@ def test_tdcf_rejects_nan():
         metrics.compute_tdcf(
             np.array([np.nan, 1.0, 0.5]), np.array([0.0, 0.2, 0.4]),
             0.01, 0.01, 0.9)
+
+
+def _write_score_files(tmp_path, rng):
+    cm = tmp_path / "cm.txt"
+    asv = tmp_path / "asv.txt"
+    lines = []
+    for i in range(40):
+        lines.append(f"U{i:03d} - bonafide {rng.normal(2.0, 1.0):.6f}")
+    for i in range(60):
+        lines.append(f"U{100+i:03d} A{7 + i % 13:02d} spoof "
+                     f"{rng.normal(-1.0, 1.5):.6f}")
+    cm.write_text("\n".join(lines) + "\n")
+    asv_lines = []
+    for i in range(50):
+        asv_lines.append(f"s{i} target {rng.normal(3.0, 1.0):.6f}")
+        asv_lines.append(f"s{i} nontarget {rng.normal(-3.0, 1.0):.6f}")
+        asv_lines.append(f"s{i} spoof {rng.normal(0.0, 1.5):.6f}")
+    asv.write_text("\n".join(asv_lines) + "\n")
+    return cm, asv
+
+
+def test_report_file_written_without_printout(tmp_path):
+    """Round-4 review: the train loop requests per-epoch report files
+    with printout=False; the old gate silently dropped every one."""
+    rng = np.random.default_rng(11)
+    cm, asv = _write_score_files(tmp_path, rng)
+    out = tmp_path / "report.txt"
+    eer, tdcf = metrics.calculate_tdcf_eer(cm, asv, out, printout=False)
+    text = out.read_text()
+    assert "CM SYSTEM" in text and "min-tDCF" in text
+    assert f"{eer:8.9f}"[:6] in text
+    assert "EER A07" in text   # per-attack breakdown present
+
+
+def test_single_line_score_file(tmp_path):
+    """Round-4 review: a 1-line CM file parses to a 1-D array; scoring
+    must not crash on the column slice (--debug_subset n_dev=1)."""
+    rng = np.random.default_rng(12)
+    _, asv = _write_score_files(tmp_path, rng)
+    cm = tmp_path / "one.txt"
+    cm.write_text("U000 - bonafide 1.5\n")
+    with pytest.raises(metrics.ScoringError):
+        # one line -> <3 unique CM scores; the point is reaching the
+        # sanity check instead of IndexError on cm_data[:, 1]
+        metrics.calculate_tdcf_eer(cm, asv, printout=False)
