@@ -64,8 +64,8 @@ def test_full_pipeline_matches_torch_reference(golden, tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("arch", ["AASIST", "AASIST-L", "RawNet2",
-                                  "RawGATST"])
+@pytest.mark.parametrize("arch", ["AASIST", "AASIST-L", "AASIST2",
+                                  "RawNet2", "RawGATST"])
 def test_big_differential_per_arch(arch, tmp_path_factory):
     """512-utterance differential for every architecture in the zoo
     (VERDICT r3 item 4: >=500 utts, per-arch goldens).  AASIST/AASIST-L

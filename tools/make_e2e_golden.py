@@ -150,6 +150,14 @@ def _torch_model_for(arch: str):
         sd = torch.load(os.path.join(REF, f"models/weights/{arch}.pth"),
                         map_location="cpu")
         model.load_state_dict(sd, strict=True)
+    elif arch == "AASIST2":
+        # the fork's own Model (Res2Net+SE encoder) with the seeded
+        # state_dict committed in the AASIST2 unit golden
+        from models.AASIST import Model as ForkAASIST
+        with open(os.path.join(REF, "config", "AASIST2.conf")) as f:
+            cfg = json.load(f)
+        model = _load_sd_golden(ForkAASIST(cfg["model_config"]),
+                                "aasist2_golden.npz")
     elif arch == "RawNet2":
         from models.RawNet2Spoof import Model as RawNet2
         with open(os.path.join(REF, "config",
@@ -205,7 +213,11 @@ def main_big():
             root, "ASVspoof2019_LA_asv_scores",
             "ASVspoof2019.LA.asv.eval.gi.trl.scores.txt")
 
-        for arch in ("AASIST", "AASIST-L", "RawNet2", "RawGATST"):
+        archs = (sys.argv[sys.argv.index("--archs") + 1].split(",")
+                 if "--archs" in sys.argv
+                 else ("AASIST", "AASIST-L", "AASIST2", "RawNet2",
+                       "RawGATST"))
+        for arch in archs:
             model = _torch_model_for(arch)
             scores = []
             with torch.no_grad():

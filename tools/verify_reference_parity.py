@@ -80,12 +80,27 @@ RAWGATST_CONF = {
     "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
 }
 
+AASIST2_CONF = {  # ref config/AASIST2.conf model_config (fork Res2Net)
+    "architecture": "AASIST",
+    "nb_samp": 64600, "first_conv": 128,
+    "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
+    "gat_dims": [64, 32],
+    "pool_ratios": [0.5, 0.7, 0.5, 0.5],
+    "temperatures": [2.0, 2.0, 100.0, 100.0],
+    "res2net_width": 14, "res2net_scale": 8,
+    "speaker_conditioning": True, "spk_emb_dim": 256,
+    "conditioning_level": "frame", "use_attention": True,
+}
+
 # per-arch (config, weight source, score tolerance).  RawNet2's score is
 # a LogSoftmax output downstream of a 3-layer GRU(1024) — the longest f32
-# accumulation chain in the zoo — so its tolerance is one decade looser.
+# accumulation chain in the zoo — so its tolerance is one decade looser;
+# AASIST2's Res2Net split-conv + SE chains match its unit-golden class
+# (1e-3).
 BIG_ARCHS = {
     "AASIST": (FLAGSHIP_CONF, ("ckpt", "AASIST.npz"), 1e-4),
     "AASIST-L": (AASIST_L_CONF, ("ckpt", "AASIST-L.npz"), 1e-4),
+    "AASIST2": (AASIST2_CONF, ("golden_sd", "aasist2_golden.npz"), 1e-3),
     "RawNet2": (RAWNET2_CONF, ("golden_sd", "rawnet2_golden.npz"), 1e-3),
     "RawGATST": (RAWGATST_CONF, ("golden_sd", "rawgatst_golden.npz"),
                  5e-4),
