@@ -29,10 +29,25 @@ class FlacDecodeError(RuntimeError):
 def _ensure_built() -> Path:
     if _LIB_PATH.exists():
         return _LIB_PATH
+    # Repo checkout: build via the tools script.  Installed tree (pip
+    # wheel/sdist): compile the source bundled at _native/src/ directly
+    # (setup.py ships it precisely for this rebuild path).
     tools = _LIB_PATH.parent.parent.parent / "tools" / "build_native.py"
+    bundled = _LIB_PATH.parent / "src" / "flac_decoder.cpp"
     try:
-        subprocess.run([sys.executable, str(tools)], check=True,
-                       capture_output=True)
+        if tools.exists():
+            subprocess.run([sys.executable, str(tools)], check=True,
+                           capture_output=True)
+        elif bundled.exists():
+            _LIB_PATH.parent.mkdir(exist_ok=True)
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-o", str(_LIB_PATH), str(bundled)],
+                check=True, capture_output=True)
+        else:
+            raise FlacDecodeError(
+                "native FLAC decoder not built and no source found "
+                f"(looked for {tools} and {bundled})")
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         raise FlacDecodeError(
             f"native FLAC decoder not built and auto-build failed: {e}")
