@@ -212,6 +212,8 @@ def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     embarrassingly batch-parallel — no halo, no collectives), with the
     filterbank and BN leaves replicated.
     """
+    import inspect
+
     try:
         from jax import shard_map  # jax >= 0.9 stable API
     except ImportError:  # pragma: no cover - older jax
@@ -221,10 +223,21 @@ def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     def local(xl, bk, bp, bs):
         return fused_frontend(xl, bk, bp, bs)
 
+    # Replication checking must be off: the Pallas call inside the
+    # shard can't be proven replication-consistent.  The kwarg was
+    # renamed check_rep -> check_vma in jax 0.9; pick whichever this
+    # jax accepts.
+    sig = inspect.signature(shard_map).parameters
+    if "check_vma" in sig:
+        check_kw = {"check_vma": False}
+    elif "check_rep" in sig:  # pragma: no cover - older jax
+        check_kw = {"check_rep": False}
+    else:  # pragma: no cover - future jax
+        check_kw = {}
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis), P(), P(), P()),
-        out_specs=P(axis), check_rep=False)(x, bank, bn_p, bn_s)
+        out_specs=P(axis), **check_kw)(x, bank, bn_p, bn_s)
 
 
 def _pack_traced(bank: jnp.ndarray) -> jnp.ndarray:

@@ -151,3 +151,28 @@ def test_make_mesh_warns_on_dropped_devices():
     assert mesh.devices.size == 2
     assert any("idle" in str(x.message) for x in w), (
         "expected a dropped-devices warning")
+
+
+def test_fused_frontend_sharded_matches_plain():
+    """shard_map'd fused frontend == plain kernel on the data mesh.
+
+    Regression for the jax 0.9 shard_map signature change
+    (check_rep -> check_vma), which broke the DP serving path while
+    every test stayed green — nothing in the suite exercised
+    fused_frontend_sharded directly (it was dryrun-phase-5 only).
+    """
+    from aasist_tpu.ops.fused_frontend import (fused_frontend,
+                                               fused_frontend_sharded)
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((8, 2000)), jnp.float32)
+    bank = jnp.asarray(rng.standard_normal((70, 129)) * 0.1, jnp.float32)
+    bn_p = {"weight": jnp.ones((1,)), "bias": jnp.zeros((1,))}
+    bn_s = {"mean": jnp.zeros((1,)), "var": jnp.ones((1,))}
+
+    plain = np.asarray(fused_frontend(x, bank, bn_p, bn_s))
+    sharded = np.asarray(
+        fused_frontend_sharded(x, bank, bn_p, bn_s, mesh=mesh))
+    assert sharded.shape == plain.shape
+    np.testing.assert_allclose(sharded, plain, atol=1e-6)
