@@ -200,7 +200,6 @@ def _rand_block(key, cin, cout, first):
     return p, s
 
 
-@pytest.mark.smoke
 @pytest.mark.parametrize("cin,cout,shared", [
     (1, 8, True),     # first block: both branches read the same input
     (8, 8, False),    # same-channel block, stacked input
