@@ -100,35 +100,19 @@ class AasistModel:
         # neighbouring conv pays a 20-30 ms/batch-128 opaque-boundary
         # tax (docs/PERF.md round 3).  They were removed; only the
         # pre-conv1 fused frontend survives as a kernel insertion point.
-        # eval-only polyphase conv2+pool for downsample blocks (stride-3
-        # conv with 3C phase kernels + channel-block max) — removes the
-        # gather-class maxpool and runs conv2 at 3x output channels
-        self.use_poly_blocks = bool(model_config.get(
-            "use_poly_blocks", False))
-        # eval-only exact-algebra fold of each block's bn2 into conv1's
-        # weights (layers.fold_bn_after_conv): removes the unfused
-        # bn+selu elementwise pass over the full-size conv1 output
-        # (~6 ms/batch-128 in block0, docs/PERF.md round-3 sub-op table).
-        # Off by default — the fold reassociates float ops (same value,
-        # different rounding), which the f64 bit-parity gates must not
-        # see; bench/serving enable it like the fused frontend.
-        self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
-        if self.use_bn_fold and \
-                model_config.get("encoder_type", "residual") == "res2net":
-            # fail loudly instead of silently measuring nothing: the
-            # fold is implemented for the original Residual_block
-            # geometry only (round-4 review)
+        # NOTE (round 5): the other measured-dead eval reformulations
+        # (use_poly_blocks -3%, use_aug_blocks neutral, use_bn_fold 21%
+        # slower) were retired to tools/eval_variants.py — the product
+        # model keeps exactly two eval paths: standard XLA and the
+        # fused-frontend (+ b0_chunks) winner.  Retired flags fail
+        # loudly rather than silently no-op:
+        _retired = [k for k in ("use_poly_blocks", "use_aug_blocks",
+                                "use_bn_fold") if model_config.get(k)]
+        if _retired:
             raise ValueError(
-                "use_bn_fold is not implemented for the res2net encoder"
-                " (AASIST2); drop the flag or use encoder_type"
-                " 'residual'")
-        # eval-only augmented-channel form of strongly channel-expanding
-        # downsample blocks (the downsample conv rides inside conv2 as
-        # identity input channels, killing its full-size HBM round-trip;
-        # layers.residual_block_apply_aug).  Only applied where the
-        # added input channels are cheap: 4*C_in <= C_out (block0).
-        self.use_aug_blocks = bool(model_config.get(
-            "use_aug_blocks", False))
+                f"model_config flags {_retired} were retired in round 5 "
+                "(measured dead on-chip, docs/PERF.md); the variants "
+                "live on in tools/eval_variants.py for A/B probes")
 
         # rematerialize encoder blocks in the backward pass
         # (jax.checkpoint): the early blocks' activations are
@@ -141,21 +125,6 @@ class AasistModel:
         self.block_channels = [tuple(self.filts[1]), tuple(self.filts[2]),
                                tuple(self.filts[3]), tuple(self.filts[4]),
                                tuple(self.filts[4]), tuple(self.filts[4])]
-
-    def _aug_block_ok(self, i: int, bp) -> bool:
-        """Whether block ``i`` takes the augmented-channel eval path.
-
-        Restricted to strongly channel-expanding downsample blocks
-        (4*C_in <= C_out, i.e. block0's 1->32): there the identity
-        channels folded into conv2 cost <= +25% conv2 FLOPs against the
-        ~16 GB/batch-256 HBM round-trip they remove.  For 32->64 the
-        +50% FLOPs outweigh the saving (tools/probe_aug_channel.py).
-        """
-        if not (self.use_aug_blocks and self.encoder_type == "residual"
-                and "conv_downsample" in bp):
-            return False
-        cin, cout = self.block_channels[i]
-        return 4 * cin <= cout
 
     # ------------------------------------------------------------- init
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
@@ -213,6 +182,27 @@ class AasistModel:
                 use_attention=self.use_attention)
         return params, state
 
+    def grad_mask(self, params: Params) -> Params:
+        """Bool pytree marking params that ever RECEIVE gradients.
+
+        The original residual encoder computes bn1 but discards its output
+        (reference quirk kept for checkpoint parity —
+        layers.residual_block_apply); torch therefore leaves those params'
+        ``.grad`` as None and its optimizers SKIP them entirely: no Adam
+        moments and, crucially, no L2 weight decay
+        (`/root/reference/utils.py:72-93` + torch optimizer None-grad
+        skip).  optax has no None-grad concept — ``add_decayed_weights``
+        would hand every zero-grad bn1 leaf an lr-sized Adam step per
+        batch (caught by the round-5 train differential).  The trainer
+        wraps the optimizer in ``optax.masked`` with this mask.
+        """
+        mask = nn.all_true_mask(params)
+        if self.encoder_type == "residual":
+            for bp in mask["encoder"]:
+                if "bn1" in bp:
+                    bp["bn1"] = nn.false_like(bp["bn1"])
+        return mask
+
     # ------------------------------------------------------------ apply
     def apply(
         self,
@@ -224,9 +214,17 @@ class AasistModel:
         rng: Optional[jax.Array] = None,
         freq_aug: bool = False,
         speaker_embedding: Optional[jnp.ndarray] = None,
+        dropout: Optional[bool] = None,
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], State]:
-        """Forward pass: (B, L) waveform -> ((last_hidden, logits), state')."""
-        rngs = RngStream(rng)
+        """Forward pass: (B, L) waveform -> ((last_hidden, logits), state').
+
+        ``dropout`` defaults to ``train``; ``dropout=False`` with
+        ``train=True`` gives a deterministic train-mode forward (batch-stat
+        BN + running-stat updates, no dropout) — the configuration the
+        torch train-differential goldens are captured under.
+        """
+        rngs = RngStream(rng, dropout_enabled=(
+            train if dropout is None else dropout))
         new_state: State = {}
 
         x = x.astype(self.compute_dtype)
@@ -271,20 +269,9 @@ class AasistModel:
                     f"size {b}; using {nc} chunks instead", stacklevel=2)
             if nc > 1:
                 def _blk0(h):
-                    bp0 = params["encoder"][0]
-                    if self._aug_block_ok(0, bp0):
-                        return L.residual_block_apply_aug(
-                            bp0, state["encoder"][0], h, first=True)
-                    if (self.use_poly_blocks
-                            and "conv_downsample" in bp0):
-                        # keep the poly eval form consistent with the
-                        # later downsample blocks when both options are on
-                        return L.residual_block_apply_poly(
-                            bp0, state["encoder"][0], h, first=True)
                     out, _ = L.residual_block_apply(
-                        bp0, state["encoder"][0], h,
-                        first=True, train=False,
-                        fold_bn=self.use_bn_fold)
+                        params["encoder"][0], state["encoder"][0], h,
+                        first=True, train=False)
                     return out
 
                 ec = e.reshape((nc, b // nc) + e.shape[1:])
@@ -295,18 +282,6 @@ class AasistModel:
         for i, bp in enumerate(params["encoder"]):
             if i < start_block:
                 continue
-            if not train and self._aug_block_ok(i, bp):
-                e = L.residual_block_apply_aug(
-                    bp, state["encoder"][i], e, first=(i == 0))
-                enc_s.append(state["encoder"][i])
-                continue
-            if (self.use_poly_blocks and not train
-                    and self.encoder_type == "residual"
-                    and "conv_downsample" in bp):
-                e = L.residual_block_apply_poly(
-                    bp, state["encoder"][i], e, first=(i == 0))
-                enc_s.append(state["encoder"][i])
-                continue
             if self.encoder_type == "res2net":
                 block = functools.partial(
                     L.res2net_block_apply, first=(i == 0),
@@ -314,8 +289,7 @@ class AasistModel:
                     train=train)
             else:
                 block = functools.partial(
-                    L.residual_block_apply, first=(i == 0), train=train,
-                    fold_bn=self.use_bn_fold and not train)
+                    L.residual_block_apply, first=(i == 0), train=train)
             if train and self.remat:
                 block = jax.checkpoint(block, static_argnums=())
             e, bs = block(bp, state["encoder"][i], e)
@@ -415,12 +389,12 @@ class AasistModel:
                       "HtrgGAT_layer_ST21", "HtrgGAT_layer_ST22"):
                 new_state[l] = state[l]
 
-        out_t1 = nn.dropout(rngs.next(), out_t1, 0.2, train)
-        out_t2 = nn.dropout(rngs.next(), out_t2, 0.2, train)
-        out_s1 = nn.dropout(rngs.next(), out_s1, 0.2, train)
-        out_s2 = nn.dropout(rngs.next(), out_s2, 0.2, train)
-        master1 = nn.dropout(rngs.next(), master1, 0.2, train)
-        master2 = nn.dropout(rngs.next(), master2, 0.2, train)
+        out_t1 = nn.stream_dropout(rngs, out_t1, 0.2, train)
+        out_t2 = nn.stream_dropout(rngs, out_t2, 0.2, train)
+        out_s1 = nn.stream_dropout(rngs, out_s1, 0.2, train)
+        out_s2 = nn.stream_dropout(rngs, out_s2, 0.2, train)
+        master1 = nn.stream_dropout(rngs, master1, 0.2, train)
+        master2 = nn.stream_dropout(rngs, master2, 0.2, train)
 
         out_t = jnp.maximum(out_t1, out_t2)               # max graph op
         out_s = jnp.maximum(out_s1, out_s2)
@@ -448,7 +422,7 @@ class AasistModel:
                 params["spk_cond_gat"], last_hidden, speaker_embedding,
                 level="utterance", use_attention=self.use_attention)
 
-        last_hidden = nn.dropout(rngs.next(), last_hidden, 0.5, train)
+        last_hidden = nn.stream_dropout(rngs, last_hidden, 0.5, train)
         logits = nn.linear(params["out_layer"], last_hidden)
         return (last_hidden, logits), new_state
 

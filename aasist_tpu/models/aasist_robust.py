@@ -120,13 +120,26 @@ class AasistRobustModel:
         params["ensemble_weight"] = jnp.asarray([0.8, 0.2], jnp.float32)
         return params, state
 
+    def grad_mask(self, params: Params) -> Params:
+        """Bool pytree of gradient-receiving params: the residual blocks'
+        bn1 output is discarded (reference quirk), so torch never updates
+        those leaves — mirror with an optax mask (see
+        AasistModel.grad_mask for the full rationale)."""
+        mask = nn.all_true_mask(params)
+        for bp in mask["encoder"]:
+            if "bn1" in bp:
+                bp["bn1"] = nn.false_like(bp["bn1"])
+        return mask
+
     def apply(self, params: Params, state: State, x: jnp.ndarray, *,
               train: bool = False, rng: Optional[jax.Array] = None,
               freq_aug: bool = False,
-              speaker_embedding: Optional[jnp.ndarray] = None
+              speaker_embedding: Optional[jnp.ndarray] = None,
+              dropout: Optional[bool] = None
               ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], State]:
         del speaker_embedding  # uniform Model contract
-        rngs = RngStream(rng)
+        rngs = RngStream(rng, dropout_enabled=(
+            train if dropout is None else dropout))
         new_state: State = {}
         x = x.astype(self.compute_dtype)
 
@@ -211,15 +224,15 @@ class AasistRobustModel:
         out_t = out_t + t_aug
         out_s = out_s + s_aug
 
-        out_t = nn.dropout(rngs.next(), out_t, 0.2, train)
-        out_s = nn.dropout(rngs.next(), out_s, 0.2, train)
+        out_t = nn.stream_dropout(rngs, out_t, 0.2, train)
+        out_s = nn.stream_dropout(rngs, out_s, 0.2, train)
 
         t_max = jnp.max(jnp.abs(out_t), axis=1)
         t_avg = jnp.mean(out_t, axis=1)
         s_max = jnp.max(jnp.abs(out_s), axis=1)
         s_avg = jnp.mean(out_s, axis=1)
         out = jnp.concatenate([t_max, t_avg, s_max, s_avg], axis=1)
-        out = nn.dropout(rngs.next(), out, 0.5, train)
+        out = nn.stream_dropout(rngs, out, 0.5, train)
         logits = nn.linear(params["out_layer"], out)
         aux_logits = nn.linear(params["aux_out_layer"], e_flat)
 

@@ -45,23 +45,17 @@ class RawGatStModel:
         # set (by serving / callers) to a jax.sharding.Mesh for the
         # shard_map'd fused frontend under data parallelism
         self.spmd_mesh = None
-        # eval-only dual-encoder stacking: encoder_T/encoder_S are the
-        # same geometry over the same input (ref RawNetGatSpoofST.py:
-        # 295-309) — run them as ONE conv pyramid at 2x channels
-        # (layers.residual_block_apply_stacked2).  "dense" block-diag
-        # weights double the conv K-dim (far better MXU efficiency at
-        # these widths, docs/PERF.md dot-rate table); "grouped" keeps
-        # exact FLOPs via feature_group_count=2.  Off by default: float
-        # reassociation must not reach the parity gates.
-        self.use_stacked_encoders = bool(model_config.get(
-            "use_stacked_encoders", False))
-        self.stacked_mode = str(model_config.get("stacked_mode", "dense"))
-        if self.stacked_mode not in ("dense", "grouped"):
+        # round-5 retirement: dual-encoder stacking (measured NEUTRAL at
+        # the real batch and compile-fragile at B=128) and the bn2 fold
+        # (21% slower) moved to tools/eval_variants.py — see
+        # AasistModel.__init__ for the rationale.  Fail loudly:
+        _retired = [k for k in ("use_stacked_encoders", "stacked_mode",
+                                "use_bn_fold") if k in model_config]
+        if _retired:
             raise ValueError(
-                f"stacked_mode must be 'dense' or 'grouped', got"
-                f" {self.stacked_mode!r}")
-        # eval-mode bn2-into-conv1 fold (layers.fold_bn_after_conv)
-        self.use_bn_fold = bool(model_config.get("use_bn_fold", False))
+                f"model_config flags {_retired} were retired in round 5 "
+                "(measured dead on-chip, docs/PERF.md); the variants "
+                "live on in tools/eval_variants.py for A/B probes")
 
     def init(self, rng: jax.Array) -> Tuple[Params, State]:
         ks = iter(jax.random.split(rng, 32))
@@ -89,36 +83,36 @@ class RawGatStModel:
         params["out_layer"] = nn.linear_init(next(ks), 7, 2)
         return params, state
 
+    def grad_mask(self, params: Params) -> Params:
+        """Bool pytree of gradient-receiving params: both encoders'
+        residual blocks discard their bn1 output (reference quirk,
+        RawNetGatSpoofST.py:258-278), so torch never updates those leaves
+        — mirror with an optax mask (see AasistModel.grad_mask)."""
+        mask = nn.all_true_mask(params)
+        for enc in ("encoder_T", "encoder_S"):
+            for bp in mask[enc]:
+                if "bn1" in bp:
+                    bp["bn1"] = nn.false_like(bp["bn1"])
+        return mask
+
     def _encode(self, blocks_p, blocks_s, x, train):
         new_s = []
         e = x
         for i, bp in enumerate(blocks_p):
             e, bs = L.residual_block_apply(
-                bp, blocks_s[i], e, first=(i == 0), train=train,
-                fold_bn=self.use_bn_fold and not train)
+                bp, blocks_s[i], e, first=(i == 0), train=train)
             new_s.append(bs)
         return e, new_s
-
-    def _encode_stacked(self, params, state, x):
-        """Eval-only: both encoders as one 2x-channel pyramid."""
-        e = x
-        for i, (bpa, bpb) in enumerate(zip(params["encoder_T"],
-                                           params["encoder_S"])):
-            e = L.residual_block_apply_stacked2(
-                bpa, bpb, state["encoder_T"][i], state["encoder_S"][i], e,
-                first=(i == 0), shared_input=(i == 0),
-                dense=(self.stacked_mode == "dense"),
-                fold_bn=self.use_bn_fold)
-        c = self.filts[-1][-1]
-        return e[:, :c], e[:, c:]
 
     def apply(self, params: Params, state: State, x: jnp.ndarray, *,
               train: bool = False, rng: Optional[jax.Array] = None,
               freq_aug: bool = False,
-              speaker_embedding: Optional[jnp.ndarray] = None
+              speaker_embedding: Optional[jnp.ndarray] = None,
+              dropout: Optional[bool] = None
               ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], State]:
         del speaker_embedding  # uniform Model contract
-        rngs = RngStream(rng)
+        rngs = RngStream(rng, dropout_enabled=(
+            train if dropout is None else dropout))
         new_state: State = {}
         x = x.astype(self.compute_dtype)
         bank = jnp.asarray(self.filterbank, dtype=self.compute_dtype)
@@ -140,15 +134,10 @@ class RawGatStModel:
                 train=train)
             h = jax.nn.selu(h)
 
-        if self.use_stacked_encoders and not train:
-            e_t, e_s = self._encode_stacked(params, state, h)
-            new_state["encoder_T"] = state["encoder_T"]
-            new_state["encoder_S"] = state["encoder_S"]
-        else:
-            e_t, new_state["encoder_T"] = self._encode(
-                params["encoder_T"], state["encoder_T"], h, train)
-            e_s, new_state["encoder_S"] = self._encode(
-                params["encoder_S"], state["encoder_S"], h, train)
+        e_t, new_state["encoder_T"] = self._encode(
+            params["encoder_T"], state["encoder_T"], h, train)
+        e_s, new_state["encoder_S"] = self._encode(
+            params["encoder_S"], state["encoder_S"], h, train)
 
         # "T" view: max over time -> spectral nodes
         n_t = jnp.swapaxes(jnp.max(jnp.abs(e_t), axis=3), 1, 2)  # (B,F,C)

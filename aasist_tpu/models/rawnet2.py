@@ -147,12 +147,29 @@ class RawNet2Model:
                                            self.nb_classes)
         return params, state
 
+    def grad_mask(self, params: Params) -> Params:
+        """Bool pytree of gradient-receiving params: every block's bn1 is
+        structurally disconnected (output discarded, RawNet2Spoof.py:
+        147-155 quirk) — torch skips None-grad params in its optimizers,
+        so the trainer masks them out of optax (see AasistModel.grad_mask
+        for the full rationale)."""
+        mask = nn.all_true_mask(params)
+        for i, (_, _, first) in enumerate(self.block_channels):
+            if not first and "bn1" in mask[f"block{i}"]:
+                mask[f"block{i}"]["bn1"] = nn.false_like(
+                    mask[f"block{i}"]["bn1"])
+        return mask
+
     def apply(self, params: Params, state: State, x: jnp.ndarray, *,
               train: bool = False, rng: Optional[jax.Array] = None,
               freq_aug: bool = False,
-              speaker_embedding: Optional[jnp.ndarray] = None
+              speaker_embedding: Optional[jnp.ndarray] = None,
+              dropout: Optional[bool] = None
               ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], State]:
         del speaker_embedding  # accepted for the uniform Model contract
+        # RawNet2 has no dropout layers (RawNet2Spoof.py); the kwarg is
+        # accepted for the uniform differential-test contract
+        del dropout
         rngs = RngStream(rng)
         new_state: State = {}
         x = x.astype(self.compute_dtype)

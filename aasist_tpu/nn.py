@@ -200,19 +200,52 @@ def with_compute_dtype(model, dtype):
     return m
 
 
+# ----------------------------------------------------- optimizer grad masks
+def all_true_mask(params: Params) -> Params:
+    return jax.tree_util.tree_map(lambda _: True, params)
+
+
+def false_like(subtree: Params) -> Params:
+    return jax.tree_util.tree_map(lambda _: False, subtree)
+
+
 # ------------------------------------------------------------- RNG utilities
 class RngStream:
     """Deterministic stream of PRNG keys for layer-by-layer dropout.
 
     Splitting happens eagerly at trace time (a fixed number of times per
     forward), so the whole forward stays jit-compatible.
+
+    ``dropout_enabled=False`` turns every ``stream_dropout`` drawn from
+    this stream into the identity while leaving the key-consumption
+    pattern unchanged — used by the train-mode numerical differentials
+    (torch goldens are captured with all ``nn.Dropout`` modules set to
+    p=0 while BatchNorm stays in train mode).
     """
 
-    def __init__(self, key: Optional[jax.Array]):
+    def __init__(self, key: Optional[jax.Array],
+                 dropout_enabled: bool = True):
         self._key = key
+        self.dropout_enabled = dropout_enabled
 
     def next(self) -> Optional[jax.Array]:
         if self._key is None:
             return None
         self._key, sub = jax.random.split(self._key)
         return sub
+
+
+def stream_dropout(rngs: "RngStream", x: jnp.ndarray, p: float,
+                   train: bool) -> jnp.ndarray:
+    """Dropout drawing its key from a RngStream.
+
+    Consumes a key from the stream whenever an enabled train-mode dropout
+    *would* fire, so disabling dropout never shifts the keys seen by later
+    layers (freq-aug and BN behaviour stay bit-identical either way).
+    """
+    if not train or p == 0.0:
+        return x
+    key = rngs.next()
+    if not rngs.dropout_enabled:
+        return x
+    return dropout(key, x, p, True)

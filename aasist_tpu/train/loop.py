@@ -491,7 +491,8 @@ def run_training(
     cfg.optim_config.steps_per_epoch = steps_per_epoch
     cfg.optim_config.epochs = cfg.num_epochs
 
-    optimizer = create_optimizer(cfg.optim_config)
+    optimizer = create_optimizer(
+        cfg.optim_config, grad_mask=getattr(model, "grad_mask", None))
     schedule = make_schedule(cfg.optim_config)
     loss_fn, use_duration = make_loss_fn(cfg.loss, cfg)
 
