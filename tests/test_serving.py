@@ -203,12 +203,14 @@ def test_model_config_validation():
     """Round-4 review: misconfigurations fail loudly at build time."""
     import pytest
 
+    # round 5: the measured-dead variant flags were retired outright —
+    # carrying one is a misconfiguration that must fail loudly, not
+    # silently no-op (tests/test_eval_variants.py covers every flag)
     rawgat = {"architecture": "RawNetGatSpoofST", "nb_samp": 64600,
               "first_conv": 128,
               "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]]}
-    with pytest.raises(ValueError, match="stacked_mode"):
-        build_model({**rawgat, "use_stacked_encoders": True,
-                     "stacked_mode": "Dense"})
+    with pytest.raises(ValueError, match="retired"):
+        build_model({**rawgat, "use_stacked_encoders": True})
 
     aasist2 = {"architecture": "AASIST", "first_conv": 128,
                "filts": [70, [1, 32], [32, 32], [32, 64], [64, 64]],
@@ -216,5 +218,5 @@ def test_model_config_validation():
                "pool_ratios": [0.5, 0.7, 0.5, 0.5],
                "temperatures": [2.0, 2.0, 100.0, 100.0],
                "encoder_type": "res2net"}
-    with pytest.raises(ValueError, match="use_bn_fold"):
+    with pytest.raises(ValueError, match="retired"):
         build_model({**aasist2, "use_bn_fold": True})

@@ -5,8 +5,9 @@ combination, pipelined dispatch + in-jit reduction (pure device time).
 
 Usage: python tools/bench_variants.py [B] [flags...]
   flags: comma-separated config overrides per variant, e.g.
-    python tools/bench_variants.py 256 none use_fused_frontend \
-        use_fused_frontend,use_aug_blocks
+    python tools/bench_variants.py 256 none use_fused_frontend
+  (round 5 retired use_aug_blocks/use_bn_fold/use_poly_blocks from the
+  product model — those now raise at build; see tools/eval_variants.py)
 """
 
 from __future__ import annotations

@@ -43,6 +43,8 @@ def main():
     from aasist_tpu import nn
     from aasist_tpu.models import layers as L
     from aasist_tpu.train.checkpoints import load_weights
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import eval_variants as EV  # round-5 retired variants live there
 
     batch = int(os.environ.get("PROBE_BATCH", 128))
     G = int(os.environ.get("PROBE_G", 8))
@@ -181,14 +183,12 @@ def main():
         "full_rmax": full_rmax,
         "aug_rmax": aug_rmax,
         "full_slice3": full_slice3,
-        "aug": lambda x: L.residual_block_apply_aug(p0, s0, x, first=True),
-        "poly": lambda x: L.residual_block_apply_poly(
+        "aug": lambda x: EV.residual_block_apply_aug(p0, s0, x, first=True),
+        "poly": lambda x: EV.residual_block_apply_poly(
             p0, s0, x, first=True),
         "stream4": stream4,
         "ds_concat": ds_concat,
     }
-    if not hasattr(L, "residual_block_apply_aug"):
-        cuts.pop("aug")
     sel = os.environ.get("PROBE_SEL")
     if sel:
         cuts = {k: v for k, v in cuts.items() if k in sel.split(",")}

@@ -53,16 +53,44 @@ def main():
              else ["off", "dense", "grouped"])
 
     for mode in modes:
-        conf = dict(CONF)
+        # round 5 retired use_stacked_encoders from the product model
+        # (this probe's numbers did the retiring); the stacked path now
+        # lives in tools/eval_variants — graft it onto a plain model by
+        # intercepting _encode: model.apply calls it for encoder_T then
+        # encoder_S in a fixed order, so the first call computes BOTH
+        # halves via the stacked pyramid and caches the S half.
+        model = build_model(dict(CONF))
         if mode != "off":
-            conf["use_stacked_encoders"] = True
-            conf["stacked_mode"] = mode
-        model = build_model(conf)
+            import os as _os
+            sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+            import eval_variants as EV
+
+            def make_stacked_encode(m, dense):
+                pending = []
+
+                def _encode(blocks_p, blocks_s, x, train):
+                    if pending:
+                        return pending.pop(), blocks_s
+                    # first (encoder_T) call: trace both halves at once
+                    params = {"encoder_T": blocks_p,
+                              "encoder_S": _encode.params["encoder_S"]}
+                    state = {"encoder_T": blocks_s,
+                             "encoder_S": _encode.state["encoder_S"]}
+                    e_t, e_s = EV.rawgat_encode_stacked(
+                        m, params, state, x, dense=dense)
+                    pending.append(e_s)
+                    return e_t, blocks_s
+                return _encode
+
+            enc = make_stacked_encode(model, mode == "dense")
+            model._encode = enc
         params, state = model.init(jax.random.PRNGKey(0))
         cast = lambda t: jax.tree_util.tree_map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, t)
         p, s = cast(params), cast(state)
+        if mode != "off":
+            enc.params, enc.state = p, s
 
         @jax.jit
         def step(p, s, x):
