@@ -26,6 +26,22 @@ import numpy as np
 FIXED_LEN = 64600
 TARGET_BASELINE = 5000.0
 
+# Measured cost model for the flagship AASIST eval forward: 4.84 TFLOP per
+# batch-256 forward (docs/PERF.md "Why the 5000 utt/s target is out of
+# reach"), i.e. ~18.9 GFLOP per utterance; TPU v5e bf16 peak is ~197
+# TFLOP/s (the same doc's 94 TF/s = 48%-of-peak arithmetic).  Used to
+# report achieved TFLOP/s and MFU alongside the throughput.
+AASIST_FLOPS_PER_UTT = 4.84e12 / 256
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+# Committed throughput floor for the official configuration (AASIST,
+# bf16): round 4 closed the perf axis at an evidence-backed ~1,980-2,000
+# utt/s ceiling (docs/PERF.md); the floor guards that number — any change
+# that silently regresses the bench below it fails the run (exit 1, JSON
+# still printed with floor_ok=false).  BENCH_FLOOR=0 disables (e.g. for
+# deliberately-crippled A/B probes).
+OFFICIAL_FLOOR_UTT_S = 1900.0
+
 
 def _acquire_backend():
     """``jax.devices()`` with retry/backoff on transient init failures.
@@ -114,38 +130,18 @@ def main() -> int:
     # Best measured: batch 128 + fused fe + chunks 1 = 1840-1864 utt/s.
     # BENCH_FUSED_FE=0 opts out; compile failures fall back
     # flag-by-flag, then to smaller batches.
+    # (round 5: the measured-dead variant knobs BENCH_AUG_BLOCKS /
+    # BENCH_BN_FOLD / BENCH_STACKED were retired with their model flags
+    # to tools/eval_variants.py — docs/PERF.md has the A/B numbers)
     want_fused_fe = (os.environ.get("BENCH_FUSED_FE", "1") != "0"
                      and dtype == "bf16")
-    want_aug = os.environ.get("BENCH_AUG_BLOCKS", "0") != "0"
-    # eval-mode bn2-into-conv1 fold (exact algebra, round 4): measured
-    # 21% SLOWER on-chip (1556 vs 1973 utt/s) — the bn+selu elementwise
-    # pass is load-bearing as conv2's producer fusion (docs/PERF.md
-    # round 4).  Off by default; BENCH_BN_FOLD=1 folds in-jit, =2 uses
-    # pre-folded params (fold_encoder_bn) for the A/B.
-    bn_fold_mode = os.environ.get("BENCH_BN_FOLD", "0")
-    want_bn_fold = bn_fold_mode != "0"
     b0_chunks_env = os.environ.get("BENCH_B0_CHUNKS")
-    # RawGAT-ST dual-encoder stacking (round 4): BENCH_STACKED=dense|
-    # grouped|0.  OFF by default: measured NEUTRAL at the real batch
-    # (tools/probe_rawgat_stacked.py, B=128 bf16: off 852 / dense 832 /
-    # grouped 876 utt/s) — the conv pyramid is HBM-bound, so stacking
-    # the branch weights saves no bytes — and dense at B=128 fails to
-    # compile under the bench's fused-fe+scoped-vmem stack, regressing
-    # the fallback ladder to B=32 (508 utt/s).  docs/PERF.md round 4.
-    stacked_env = os.environ.get("BENCH_STACKED", "0")
 
     def build_for_batch(batch):
         c = dict(conf)
         if want_fused_fe:
             c["use_fused_frontend"] = True
             c["b0_chunks"] = 1 if batch < 256 else 2
-        if want_aug:
-            c["use_aug_blocks"] = True
-        if want_bn_fold:
-            c["use_bn_fold"] = True
-        if stacked_env != "0":
-            c["use_stacked_encoders"] = True
-            c["stacked_mode"] = stacked_env
         if b0_chunks_env:
             c["b0_chunks"] = int(b0_chunks_env)
         return c, build_model(c)
@@ -167,13 +163,6 @@ def main() -> int:
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, t)
         params, state = cast(params), cast(state)
-
-    if bn_fold_mode == "2" and "encoder" in params:
-        from aasist_tpu.models.layers import fold_encoder_bn
-        params = dict(params)
-        params["encoder"] = jax.tree_util.tree_map(
-            np.asarray,
-            fold_encoder_bn(params["encoder"], state["encoder"]))
 
     # NB: the scalar reduction is the synchronisation point — on the
     # tunneled axon backend block_until_ready returns before execution
@@ -243,11 +232,8 @@ def main() -> int:
                     _HEARTBEAT[0] = time.time()
                     time.sleep(15.0)
                     continue
-                if (bconf.pop("use_fused_frontend", None)
-                        or bconf.pop("use_aug_blocks", None)
-                        or bconf.pop("use_bn_fold", None)
-                        or bconf.pop("use_stacked_encoders", None)):
-                    # perf-variant trouble: drop one flag, rebuild on
+                if bconf.pop("use_fused_frontend", None):
+                    # perf-variant trouble: drop the flag, rebuild on
                     # the plainer path and retry this batch size
                     model = build_model(bconf)
                     fwd = jax.jit(forward)
@@ -272,11 +258,22 @@ def main() -> int:
         "dtype": dtype,
         "device": str(jax.devices()[0]),
     }
+    rc = 0
     if arch != "AASIST":
         out["metric"] = "eval_throughput"
         out["arch"] = arch
+    else:
+        tflops = value * AASIST_FLOPS_PER_UTT / 1e12
+        out["tflops"] = round(tflops, 2)
+        out["mfu"] = round(tflops / V5E_BF16_PEAK_TFLOPS, 4)
+        floor = float(os.environ.get("BENCH_FLOOR", OFFICIAL_FLOOR_UTT_S))
+        if dtype == "bf16" and floor > 0:
+            out["floor"] = floor
+            out["floor_ok"] = value >= floor
+            if not out["floor_ok"]:
+                rc = 1
     print(json.dumps(out))
-    return 0
+    return rc
 
 
 # progress heartbeat: main() bumps this before/after each compile
@@ -356,11 +353,15 @@ def _flagged_rerun():
         sys.stderr.flush()
     line = next((ln for ln in res.stdout.splitlines()
                  if ln.startswith('{"metric"')), None)
-    if res.returncode == 0 and line:
+    if line and res.returncode in (0, 1):
         try:
-            if json.loads(line).get("value", 0) > 0:
+            parsed = json.loads(line)
+            # a nonzero measurement counts even when the floor gate
+            # failed (rc 1) — propagate the gate verdict, don't rerun
+            if parsed.get("value", 0) > 0 and (
+                    res.returncode == 0 or "floor_ok" in parsed):
                 print(line, flush=True)
-                return 0
+                return res.returncode
         except ValueError:
             pass
     print("bench: scoped-vmem child did not produce a measurement; "
