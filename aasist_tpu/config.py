@@ -189,7 +189,28 @@ class ExperimentConfig:
         return self._db() / self.asv_score_path
 
 
+def resolve_config_path(path: Union[str, Path]) -> Path:
+    """Resolve a config path, falling back to the packaged stock configs.
+
+    A repo checkout resolves ``configs/AASIST.conf`` directly; a
+    pip-installed tree has the six stock configs as package data under
+    ``aasist_tpu/configs/`` (ADVICE r4: the console script's README
+    quickstart used to require a checkout).  Accepts either the
+    ``configs/NAME.conf`` spelling or a bare ``NAME.conf`` / ``NAME``.
+    """
+    p = Path(path)
+    if p.exists():
+        return p
+    pkg = Path(__file__).resolve().parent / "configs"
+    name = p.name if p.suffix else p.name + ".conf"
+    candidate = pkg / name
+    if candidate.exists():
+        return candidate
+    raise FileNotFoundError(
+        f"config {path!r} not found (also tried packaged {candidate})")
+
+
 def load_config(path: Union[str, Path]) -> ExperimentConfig:
     """Load an experiment config from a reference-format JSON ``.conf``."""
-    with open(path, "r") as f:
+    with open(resolve_config_path(path), "r") as f:
         return ExperimentConfig.from_dict(json.loads(f.read()))

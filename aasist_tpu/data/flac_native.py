@@ -26,41 +26,111 @@ class FlacDecodeError(RuntimeError):
     pass
 
 
+def _cache_lib_path() -> Path:
+    """Per-user cache location for host-local rebuilds (XDG convention).
+
+    Keyed by package version AND python tag so upgrades / multi-env
+    hosts never load a stale binary.
+    """
+    import os
+
+    from aasist_tpu import __version__
+
+    base = Path(os.environ.get("XDG_CACHE_HOME",
+                               Path.home() / ".cache"))
+    tag = f"{__version__}-py{sys.version_info[0]}{sys.version_info[1]}"
+    return base / "aasist_tpu" / tag / "libflacdec.so"
+
+
+def _bundled_source() -> Path:
+    return _LIB_PATH.parent / "src" / "flac_decoder.cpp"
+
+
+def _build(target: Path, source: Path) -> None:
+    """Compile the decoder for THIS host (native tuning is correct here —
+    the redistributable wheel artifact is built generic by setup.py)."""
+    target.parent.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+         "-std=c++17", "-o", str(target), str(source)],
+        check=True, capture_output=True)
+
+
+def _rebuild_for_host() -> Path:
+    """Build from the bundled source into a writable location.
+
+    Prefers the package dir (repo checkout / user-owned venv); falls
+    back to the per-user cache when site-packages is read-only (ADVICE
+    r4: the root-owned-install case used to fail here).
+    """
+    import os
+
+    bundled = _bundled_source()
+    if not bundled.exists():
+        raise FlacDecodeError(
+            f"native FLAC decoder source not found at {bundled}")
+    targets = []
+    if os.access(_LIB_PATH.parent if _LIB_PATH.parent.exists()
+                 else _LIB_PATH.parent.parent, os.W_OK):
+        targets.append(_LIB_PATH)
+    targets.append(_cache_lib_path())
+    last_err = None
+    for target in targets:
+        try:
+            _build(target, bundled)
+            return target
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                PermissionError, OSError) as e:
+            last_err = e
+    raise FlacDecodeError(
+        f"native FLAC decoder auto-build failed: {last_err}")
+
+
 def _ensure_built() -> Path:
     if _LIB_PATH.exists():
         return _LIB_PATH
+    cached = _cache_lib_path()
+    if cached.exists():
+        return cached
     # Repo checkout: build via the tools script.  Installed tree (pip
     # wheel/sdist): compile the source bundled at _native/src/ directly
     # (setup.py ships it precisely for this rebuild path).
     tools = _LIB_PATH.parent.parent.parent / "tools" / "build_native.py"
-    bundled = _LIB_PATH.parent / "src" / "flac_decoder.cpp"
-    try:
-        if tools.exists():
+    if tools.exists():
+        try:
             subprocess.run([sys.executable, str(tools)], check=True,
                            capture_output=True)
-        elif bundled.exists():
-            _LIB_PATH.parent.mkdir(exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", "-o", str(_LIB_PATH), str(bundled)],
-                check=True, capture_output=True)
-        else:
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
             raise FlacDecodeError(
-                "native FLAC decoder not built and no source found "
-                f"(looked for {tools} and {bundled})")
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        raise FlacDecodeError(
-            f"native FLAC decoder not built and auto-build failed: {e}")
-    if not _LIB_PATH.exists():
-        raise FlacDecodeError("native FLAC decoder build produced no library")
-    return _LIB_PATH
+                f"native FLAC decoder not built and auto-build failed: {e}")
+        if not _LIB_PATH.exists():
+            raise FlacDecodeError(
+                "native FLAC decoder build produced no library")
+        return _LIB_PATH
+    return _rebuild_for_host()
 
 
 def _get_lib():
     global _lib
     with _lock:
         if _lib is None:
-            lib = ctypes.CDLL(str(_ensure_built()))
+            path = _ensure_built()
+            try:
+                lib = ctypes.CDLL(str(path))
+            except OSError:
+                # the found .so targets a different CPU/OS (e.g. a wheel
+                # built elsewhere, or a stale cache) — use an earlier
+                # host-local cache build if one exists, else rebuild
+                # from the bundled source for THIS host (ADVICE r4)
+                lib = None
+                cached = _cache_lib_path()
+                if cached.exists() and cached != Path(path):
+                    try:
+                        lib = ctypes.CDLL(str(cached))
+                    except OSError:
+                        lib = None
+                if lib is None:
+                    lib = ctypes.CDLL(str(_rebuild_for_host()))
             lib.flac_decode_file.restype = ctypes.c_int
             lib.flac_decode_file.argtypes = [
                 ctypes.c_char_p,

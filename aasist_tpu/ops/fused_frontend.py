@@ -229,15 +229,25 @@ def fused_frontend_sharded(x: jnp.ndarray, bank: jnp.ndarray, bn_p, bn_s,
     # jax accepts.
     sig = inspect.signature(shard_map).parameters
     if "check_vma" in sig:
-        check_kw = {"check_vma": False}
+        check_kws = ({"check_vma": False},)
     elif "check_rep" in sig:  # pragma: no cover - older jax
-        check_kw = {"check_rep": False}
-    else:  # pragma: no cover - future jax
-        check_kw = {}
-    return shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P()),
-        out_specs=P(axis), **check_kw)(x, bank, bn_p, bn_s)
+        check_kws = ({"check_rep": False},)
+    else:  # pragma: no cover - future jax hiding kwargs behind **kwargs
+        # (ADVICE r4): don't silently drop the flag — try both spellings
+        # and only then fall back to no flag (tests/test_fused_frontend
+        # regression-checks the mesh path either way)
+        check_kws = ({"check_vma": False}, {"check_rep": False}, {})
+
+    last_err = None
+    for check_kw in check_kws:
+        try:
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(), P(), P()),
+                out_specs=P(axis), **check_kw)(x, bank, bn_p, bn_s)
+        except TypeError as e:  # pragma: no cover - unknown kwarg
+            last_err = e
+    raise last_err
 
 
 def _pack_traced(bank: jnp.ndarray) -> jnp.ndarray:
