@@ -67,3 +67,26 @@ def test_aasist_train_differential():
     for label in ("grads_cce", "grads_ams", "grads_almft",
                   "bnstats_cce", "adam_params1", "adam_params2"):
         assert f"ok  aasist {label}" in out, out
+
+
+@pytest.mark.slow
+def test_aasist2_train_differential():
+    """AASIST2's production recipe: Res2Net+SE backward, speaker-
+    conditioned attention backward, and Adam driven by ALMFT with
+    per-batch durations (the margins the published fork trains with).
+    ~1h of f64 CPU backward passes on a 1-core host."""
+    out = _run("aasist2", 7200)
+    for label in ("grads_cce", "grads_almft", "bnstats_cce",
+                  "adam_params1", "adam_params2"):
+        assert f"ok  aasist2 {label}" in out, out
+
+
+@pytest.mark.slow
+def test_rawgatst_train_differential():
+    """RawGAT-ST: the no-temperature GAT backward and the dual-encoder
+    product fusion, weighted-CCE (its reference recipe) + Adam.
+    ~1h of f64 CPU backward passes on a 1-core host (two encoders)."""
+    out = _run("rawgatst", 7200)
+    for label in ("grads_cce", "bnstats_cce",
+                  "adam_params1", "adam_params2"):
+        assert f"ok  rawgatst {label}" in out, out

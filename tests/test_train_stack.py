@@ -86,14 +86,28 @@ def test_multistep_schedule():
 
 
 def test_sgdr_restarts():
+    """Torch-exact SGDR staircase (stepped once per EPOCH, constant
+    within each epoch — pinned to torch's SGDRScheduler by the lr
+    trajectory golden in tests/test_train_differential.py).  With T0=2,
+    Tmult=2 and steps_per_epoch=100: cycles start at epochs 0, 2, 6."""
+    import math
     cfg = _optim_cfg(scheduler="sgdr", T0=2, Tmult=2)
     sched = optim_mod.make_schedule(cfg)
-    lr_start = float(sched(0))
-    lr_end_cycle = float(sched(199))
-    lr_restart = float(sched(201))
-    assert lr_start == pytest.approx(1e-4, rel=1e-5)
-    assert lr_end_cycle < 1e-5
-    assert lr_restart > 0.9e-4  # warm restart jumps back up
+    base, lr_min = 1e-4, 5e-6
+    assert float(sched(0)) == pytest.approx(base, rel=1e-5)
+    # constant within an epoch (the staircase property the old smooth
+    # implementation violated)
+    assert float(sched(100)) == pytest.approx(float(sched(199)), rel=1e-12)
+    # epoch 1 = T_cur 1 of a Ti=2 cycle: cos(pi/2) midpoint
+    mid = lr_min + (base - lr_min) * (1 + math.cos(math.pi / 2)) / 2
+    assert float(sched(150)) == pytest.approx(mid, rel=1e-6)
+    # warm restart at epoch 2 jumps back to base
+    assert float(sched(200)) == pytest.approx(base, rel=1e-5)
+    # second cycle has Ti=4: epoch 5 is T_cur 3 -> the cycle's low point
+    low = lr_min + (base - lr_min) * (1 + math.cos(3 * math.pi / 4)) / 2
+    assert float(sched(550)) == pytest.approx(low, rel=1e-6)
+    # next restart at epoch 6
+    assert float(sched(600)) == pytest.approx(base, rel=1e-5)
 
 
 def test_optimizers_step():

@@ -31,14 +31,32 @@ and not float32-literal rounding:
     f32 and f64; the reference's AMSoftmaxLoss materialises the margin as
     float32 — `utils.py:203`).
 
-Models covered: AASIST (pretrained AASIST.pth weights — the geometry the
-published numbers correspond to) and RawNet2 at a reduced tiny geometry
-(full-size f64 per-leaf grads would be ~140 MB; the GRU backward — the
-riskiest path — is geometry-independent).
+Models covered (round 5 extends this to every differential-able zoo
+variant — the set the 512-utt eval differential runs; AASIST-L is the
+AASIST code path at a different geometry, AASIST_Robust has no runnable
+torch counterpart):
+  * AASIST      — pretrained AASIST.pth weights (the geometry the
+                  published numbers correspond to);
+  * RawNet2     — reduced tiny geometry (full-size f64 per-leaf grads
+                  would be ~140 MB; the GRU backward — the riskiest
+                  path — is geometry-independent);
+  * AASIST2     — the fork's Res2Net+SE encoder + speaker conditioning
+                  (`/root/reference/models/AASIST.py:525-670,325-415`),
+                  seeded weights from aasist2_golden.npz, trained with
+                  its production ALMFT loss + per-utterance durations;
+                  speaker embeddings are supplied so every leaf is on
+                  the grad path (torch skips None-grad leaves — the
+                  differential must not depend on masking beyond the
+                  structural bn1 quirk);
+  * RawGAT-ST   — two-encoder GAT (`RawNetGatSpoofST.py`), seeded
+                  weights from rawgatst_golden.npz, weighted-CCE (its
+                  reference recipe, main.py:417-420).
 
 Outputs (committed under tests/goldens/):
   train_diff_aasist.npz    — batches + band_pass + per-tag sd-shaped dumps
   train_diff_rawnet2.npz   — same, plus the seeded f64 init (sd__*)
+  train_diff_aasist2.npz   — same (weights live in aasist2_golden.npz)
+  train_diff_rawgatst.npz  — same (weights live in rawgatst_golden.npz)
   train_diff_lr.npz        — the four lr trajectories + configs
 """
 
@@ -117,22 +135,30 @@ def grads_as_sd(model):
     return out
 
 
-def capture_loss(model, pristine_sd, criterion_fn, x, y):
+def default_fwd(model, xt):
+    _, out = model(xt, False)
+    return out
+
+
+def capture_loss(model, pristine_sd, criterion_fn, x, y, fwd=default_fwd):
     """Reload pristine weights, one train-mode forward+backward, return
     (loss, sd-shaped dump of grads + post-forward running stats)."""
     model.load_state_dict(pristine_sd)
     model.train()
     model.zero_grad(set_to_none=True)
-    _, out = model(torch.from_numpy(x).to(torch.float64), False)
+    out = fwd(model, torch.from_numpy(x).to(torch.float64))
     loss = criterion_fn(out)
     loss.backward()
     return float(loss.item()), grads_as_sd(model)
 
 
-def capture_adam(model, pristine_sd, criterion_fn, batches):
+def capture_adam(model, pristine_sd, criterion_fn, batches,
+                 fwd=default_fwd):
     """Reference optimizer protocol (main.py:441-480): forward, loss,
     zero_grad, backward, step, scheduler.step() — two steps.  Returns the
-    post-step full state dicts and the lr in effect at each step."""
+    post-step full state dicts and the lr in effect at each step.
+    ``batches`` entries are (x, criterion_args...) tuples; the criterion
+    receives (out, *criterion_args)."""
     import utils as ref_utils  # reference module
 
     model.load_state_dict(pristine_sd)
@@ -140,10 +166,10 @@ def capture_adam(model, pristine_sd, criterion_fn, batches):
     optimizer, scheduler = ref_utils.create_optimizer(
         model.parameters(), ADAM_OPTIM_CONFIG)
     dumps, lrs, losses = [], [], []
-    for x, y in batches:
+    for x, *crit_args in batches:
         lrs.append(float(optimizer.param_groups[0]["lr"]))
-        _, out = model(torch.from_numpy(x).to(torch.float64), False)
-        loss = criterion_fn(out, y)
+        out = fwd(model, torch.from_numpy(x).to(torch.float64))
+        loss = criterion_fn(out, *crit_args)
         optimizer.zero_grad(set_to_none=True)
         loss.backward()
         optimizer.step()
@@ -254,6 +280,106 @@ def make_rawnet2():
                   x1, x2, y1, y2, dur1, band_pass, tagged, scalars)
 
 
+# ------------------------------------------------------------------ AASIST2
+def _load_sd_from_golden(model, golden_name):
+    """Load the seeded f32 state_dict committed in a unit golden (the same
+    weights the 512-utt eval differential runs); ``load_state_dict``'s
+    ``copy_`` casts into the model's f64 leaves."""
+    data = np.load(os.path.join(OUT, golden_name))
+    sd = {k[len("sd__"):]: torch.from_numpy(data[k])
+          for k in data.files if k.startswith("sd__")}
+    model.load_state_dict(sd, strict=True)
+    # some fork layers force f32 via torch.FloatTensor (e.g. the GAT
+    # att_weight) even under set_default_dtype(f64) — promote everything
+    model.double()
+    return model
+
+
+def make_aasist2():
+    from models.AASIST import Model as ForkAASIST
+
+    with open(os.path.join(REF, "config", "AASIST2.conf")) as f:
+        cfg = json.load(f)
+    model = _load_sd_from_golden(ForkAASIST(cfg["model_config"]),
+                                 "aasist2_golden.npz")
+    disable_dropout(model)
+    pristine = sd_tensors(model)
+    band_pass = model.conv_time.band_pass.detach().numpy().astype(np.float64)
+
+    x1, x2, y1, y2, dur1 = make_batches()
+    # extra draws for the production-recipe Adam steps (ALMFT needs a
+    # duration per batch) and the speaker-conditioning path
+    rng2 = np.random.default_rng(SEED + 1)
+    dur2 = rng2.uniform(1.0, 6.0, BATCH)
+    spk = rng2.standard_normal((BATCH, 256)) * 0.1
+
+    ty1 = torch.from_numpy(y1)
+    tdur1 = torch.from_numpy(dur1)
+    tspk = torch.from_numpy(spk)
+
+    # speaker embeddings flow through every forward so no leaf is left
+    # off the grad path (torch would silently skip None-grad leaves in
+    # Adam; the differential must exercise them all)
+    def fwd(m, xt):
+        _, out = m(xt, False, speaker_embedding=tspk)
+        return out
+
+    import utils as ref_utils
+    cce = f64_cce()
+    almft = ref_utils.AMSoftmaxLoss(scale=AMS_SCALE, adaptive_margin=True,
+                                    m_a=ALMFT_MA, m_b=ALMFT_MB)
+
+    tagged, scalars = {}, {}
+    scalars["loss_cce"], tagged["gradcce"] = capture_loss(
+        model, pristine, lambda o: cce(o, ty1), x1, y1, fwd=fwd)
+    scalars["loss_almft"], tagged["gradalmft"] = capture_loss(
+        model, pristine, lambda o: almft(o, ty1, tdur1), x1, y1, fwd=fwd)
+
+    # Adam under the PRODUCTION loss (ALMFT + durations), not CCE
+    dumps, lrs, losses = capture_adam(
+        model, pristine,
+        lambda o, y, d: almft(o, torch.from_numpy(y), torch.from_numpy(d)),
+        [(x1, y1, dur1), (x2, y2, dur2)], fwd=fwd)
+    tagged["adam1"], tagged["adam2"] = dumps
+    scalars["adam_lrs"] = np.array(lrs)
+    scalars["adam_losses"] = np.array(losses)
+    scalars["dur2"] = dur2
+    scalars["spk"] = spk
+
+    save_captures(os.path.join(OUT, "train_diff_aasist2.npz"),
+                  x1, x2, y1, y2, dur1, band_pass, tagged, scalars)
+
+
+# ----------------------------------------------------------------- RawGAT-ST
+def make_rawgatst():
+    from models.RawNetGatSpoofST import Model as RawGATST
+
+    with open(os.path.join(REF, "config", "RawGATST_baseline.conf")) as f:
+        cfg = json.load(f)
+    model = _load_sd_from_golden(RawGATST(cfg["model_config"]),
+                                 "rawgatst_golden.npz")
+    disable_dropout(model)
+    pristine = sd_tensors(model)
+    band_pass = model.conv_time.band_pass.detach().numpy().astype(np.float64)
+
+    x1, x2, y1, y2, dur1 = make_batches()
+    ty1 = torch.from_numpy(y1)
+    cce = f64_cce()
+
+    tagged, scalars = {}, {}
+    scalars["loss_cce"], tagged["gradcce"] = capture_loss(
+        model, pristine, lambda o: cce(o, ty1), x1, y1)
+    dumps, lrs, losses = capture_adam(
+        model, pristine,
+        lambda o, y: cce(o, torch.from_numpy(y)), [(x1, y1), (x2, y2)])
+    tagged["adam1"], tagged["adam2"] = dumps
+    scalars["adam_lrs"] = np.array(lrs)
+    scalars["adam_losses"] = np.array(losses)
+
+    save_captures(os.path.join(OUT, "train_diff_rawgatst.npz"),
+                  x1, x2, y1, y2, dur1, band_pass, tagged, scalars)
+
+
 # ------------------------------------------------------------ lr schedules
 def make_lr_trajectories():
     import utils as ref_utils
@@ -310,6 +436,10 @@ def make_lr_trajectories():
 if __name__ == "__main__":
     torch.set_default_dtype(torch.float64)
     torch.manual_seed(0)
-    make_lr_trajectories()
-    make_rawnet2()
-    make_aasist()
+    targets = sys.argv[1:] or ["lr", "rawnet2", "aasist", "aasist2",
+                               "rawgatst"]
+    fns = {"lr": make_lr_trajectories, "rawnet2": make_rawnet2,
+           "aasist": make_aasist, "aasist2": make_aasist2,
+           "rawgatst": make_rawgatst}
+    for t in targets:
+        fns[t]()

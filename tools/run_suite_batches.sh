@@ -15,7 +15,7 @@ run () {
 run tests/test_data.py tests/test_metrics.py tests/test_flac.py \
     tests/test_flac_external.py tests/test_flac_fuzz.py \
     tests/test_converter.py tests/test_stochastic_policies.py \
-    tests/test_packaging.py
+    tests/test_packaging.py tests/test_preflight_la.py
 
 # 2. parallel / multihost / checkpointing
 run tests/test_parallel.py tests/test_multihost.py \
